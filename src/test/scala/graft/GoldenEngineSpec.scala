@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.core.RuleSpec._
+import graft.engine._
+import graft.fixtures.Fixtures
+import graft.rules.{BoundRule, ValidationEngine}
+
+/**
+ * End-to-end golden test (SURVEY §7.2 first slice): golden docs fixture →
+ * full rule suite → exact verdicts + violation rows, asserted row-for-row,
+ * plus per-row span-sequence equality (kind, text, media_ref, order) per
+ * BASELINE.json `input_hint`.
+ */
+class GoldenEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  val rowRules = Seq(
+    BoundRule(Required("doc_id")),
+    BoundRule(SpanOffsetsMonotonic()),
+    BoundRule(SpanFieldConsistency()),
+    BoundRule(SpansNonEmpty()))
+
+  lazy val docs = Fixtures.goldenDocsDf(spark)
+  lazy val assets = Fixtures.goldenAssetsDf(spark)
+
+  test("row-level validation: status, reasons, counts match golden") {
+    val res = ValidationEngine.validate(docs, rowRules)
+    assert(res.totalRows === 12)
+    assert(res.failed === 7)   // null, blank, d07, d08, d09, d10, d11
+    assert(res.passed === 5)
+    val failedIds = res.report.filter($"_val_status" === "FAIL")
+      .select($"doc_id").collect().map(_.getString(0)).toSet
+    assert(failedIds === Set(null, "  ", "d07", "d08", "d09", "d10", "d11"))
+    // reasons pipe-joined in rule order (reference `validation_engine.py:73-77`)
+    val d10reason = res.report.filter($"doc_id" === "d10")
+      .select($"_val_reason").as[String].collect().head
+    assert(d10reason === "Invalid spans")
+    val summary = res.columnSummary.map(s => s.rule_id -> s.failed_count).toMap
+    assert(summary("required(doc_id)") === 2)
+    assert(summary("span_offsets_monotonic") === 2)   // d07, d08
+    assert(summary("span_field_consistency") === 2)   // d10, d11
+    assert(summary("spans_non_empty") === 1)          // d09
+  }
+
+  test("full engine run: verdicts + violations match golden exactly") {
+    val cfg = EngineConfig(rules = rowRules)
+    val (verdicts, viols) = new ValidationRun(spark, cfg)
+      .run(docs, Some(assets))
+
+    val v = viols.select($"rule_id", $"doc_id", $"part", $"span_offset")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).toSet
+    val expected = Set(
+      ("required(doc_id)", null, 0, -1),
+      ("required(doc_id)", "  ", 1, -1),
+      ("span_offsets_monotonic", "d07", 1, 1),
+      ("span_offsets_monotonic", "d08", 0, 0),
+      ("span_field_consistency", "d10", 0, 0),
+      ("span_field_consistency", "d11", 1, 0),
+      ("spans_non_empty", "d09", 1, -1),
+      ("unique(doc_id)", "dup-1", 0, -1),
+      ("unique(doc_id)", "dup-1", 1, -1),
+      ("referential_integrity(media_ref)", "d06", 0, 0))
+    assert(v === expected)
+
+    val verd = verdicts.orderBy("part").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(verd.toSeq === Seq(
+      (0, 7L, 2L, 5L, "FAIL"),    // d00, d01 pass
+      (1, 5L, 0L, 5L, "FAIL")))
+  }
+
+  test("span-sequence equality: validation is read-only (kind,text,media_ref,order preserved)") {
+    val res = ValidationEngine.validate(docs, rowRules)
+    val got = res.report
+      .select($"doc_id", $"part",
+        expr("transform(spans, s -> struct(s.kind, s.text, s.media_ref))").as("seq"),
+        expr("transform(spans, s -> s.offset)").as("offsets"))
+      .collect()
+      .map(r => (Option(r.getString(0)).getOrElse("«null»"), r.getInt(1), r.getSeq[Any](2).toList, r.getSeq[Int](3).toList))
+      .sortBy(t => (t._1, t._2)).toList
+    val want = Fixtures.goldenDocs
+      .map(d => (Option(d.doc_id).getOrElse("«null»"), d.part,
+        d.spans.map(s => org.apache.spark.sql.Row(s.kind, s.text, s.media_ref)).toList,
+        d.spans.map(_.offset).toList))
+      .sortBy(t => (t._1, t._2)).toList
+    assert(got.map(t => (t._1, t._2, t._3.map(_.toString), t._4)) ===
+           want.map(t => (t._1, t._2, t._3.map(_.toString), t._4)))
+  }
+
+  test("resume: completed partitions are skipped and verdicts unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledger").toString
+    val cfg = EngineConfig(rules = rowRules, ledgerDir = Some(dir), runId = "r1")
+    val run = new ValidationRun(spark, cfg)
+    // first attempt: only partition 0 completes (simulated mid-run kill);
+    // full input is visible so global rules (uniqueness) see every partition
+    run.runAndWrite(docs, Some(assets), s"$dir/out", limitParts = Some(Seq(0)))
+    assert(run.completedPartitions() === Set(0))
+    // resume: full input, but part 0 must be skipped
+    run.runAndWrite(docs, Some(assets), s"$dir/out", resume = true)
+    val verdicts = spark.read.parquet(s"$dir/out/verdicts")
+    assert(verdicts.count() === 2)
+    assert(verdicts.select("part").as[Int].collect().toSet === Set(0, 1))
+    val failedTotal = verdicts.agg(sum("failed")).as[Long].collect().head
+    assert(failedTotal === 10L)
+  }
+
+  test("strict mode drops failing rows (reference :88-90)") {
+    val res = ValidationEngine.validate(docs, rowRules, strictMode = true)
+    assert(res.report.count() === 5)
+    assert(res.report.filter($"_val_status" === "FAIL").count() === 0)
+  }
+}
