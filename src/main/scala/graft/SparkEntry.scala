@@ -1,13 +1,312 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.RuleSpec._
+import graft.rules.{BoundRule, ValidationEngine}
+import graft.clean.Cleaners
+import graft.stats.Profiler
+import graft.text.Text
+import graft.dedup.Dedup
+import graft.sim.Similarity
+
+/**
+ * Driver contract: one `queries` entry per implemented operator
+ * (SURVEY.md §2 + training-data ops), each with an equivalent DuckDB oracle
+ * in `oracleSql` (omitted only for ops not expressible in ANSI SQL — those
+ * get the driver's weaker rows-only check).
+ *
+ * Oracle-parity rules used throughout:
+ *  - float aggregates are `round(x, N)` on BOTH sides (never raw doubles);
+ *  - cross-engine hashes are md5-based ([[Text.portableHash]]);
+ *  - every output is deterministic under any row order (no bare limits);
+ *  - column names match the SQL aliases exactly (driver sorts by name).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+  private def read(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(t(dir, name))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // Validation rule set for q06 — mirrors Rules.failureMask semantics.
+  private val eventRules = Seq(
+    BoundRule(Required("event_type"), Some("event_type required")),
+    BoundRule(AllowedValues("event_type",
+      Seq("click", "view", "purchase", "signup", "error")), Some("unknown event_type")),
+    BoundRule(NumericRange("value", 0.01, 400.0), Some("value out of range")),
+    BoundRule(Pattern("props", "^\\{.*\\}$", "json"), Some("props not json-ish")),
+    BoundRule(Formula("value", "value >= 10 OR event_type <> 'view'"),
+      Some("view below min value")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
+
+    // ---------------------------------------------------------- relational core
+    // A1/A3-style grouped aggregation (pricing summary, TPC-H Q1 shape)
+    "q01_pricing_summary" -> ((s, dir) => {
+      read(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+             round(sum(col("l_extendedprice")), 2).as("sum_base"),
+             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+             round(avg(col("l_quantity")), 4).as("avg_qty"),
+             count(lit(1)).as("n"))
+    }),
+
+    // A2/A3 — per-column profile aggregates in one pass (exact distinct for oracle)
+    "q02_column_profile" -> ((s, dir) => {
+      read(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        sum(col("l_quantity").isNull.cast("long")).as("null_qty"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        sum((col("l_discount") === 0.0).cast("long")).as("zero_discounts"))
+    }),
+
+    // A6/O1 — top-5 value counts, deterministic tie-break
+    "q03_topk_values" -> ((s, dir) => {
+      Profiler.topK(read(s, dir, "part"), "p_brand", 5)
+        .select(col("p_brand"), col("cnt"))
+    }),
+
+    // P4 — Unique rule: all duplicated key values + their counts
+    "q04_unique_rule" -> ((s, dir) => {
+      graft.engine.UniquenessCheck.duplicateKeys(read(s, dir, "orders"), "o_custkey")
+        .select(col("o_custkey"), col("dup_count"))
+    }),
+
+    // J4/P6 — referential integrity: lineitem partkeys not in the (filtered)
+    // catalog; catalog restricted to p_size <= 25 to make violations non-empty
+    "q05_ref_integrity" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val catalog = read(s, dir, "part").where(col("p_size") <= 25)
+        .select(col("p_partkey"))
+      li.join(broadcast(catalog), li("l_partkey") === catalog("p_partkey"), "left_anti")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_rows"))
+    }),
+
+    // P1-P16 — declarative validation: per-row status + pipe-joined reasons
+    "q06_validation_status" -> ((s, dir) => {
+      val ev = read(s, dir, "events")
+      val res = ValidationEngine.annotate(ev, eventRules)
+      res.select(col("event_id"), col("_val_status"), col("_val_reason"))
+    }),
+
+    // P10 — per-rule failure counts in one agg
+    "q06b_rule_summary" -> ((s, dir) => {
+      val ev = read(s, dir, "events")
+      val res = ValidationEngine.validate(ev, eventRules)
+      s.createDataFrame(res.columnSummary.map(c =>
+        (c.rule_id, c.failed_count)).sortBy(_._1))
+        .toDF("rule_id", "failed_count")
+    }),
+
+    // C12/W4 — keep-latest dedup by timestamp
+    "q07_dedup_keep_latest" -> ((s, dir) => {
+      Cleaners.keepLatest(read(s, dir, "events")
+          .withColumn("__ord", struct(col("ts"), col("event_id"))),
+          Seq("user_id"), "__ord")
+        .select(col("user_id"), col("event_id"))
+    }),
+
+    // W1-style running aggregate over an explicit order
+    "q08_running_window" -> ((s, dir) => {
+      val ev = read(s, dir, "events").where(col("user_id") < 5)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(col("event_id"), round(sum(col("value")).over(w), 2).as("running_value"))
+    }),
+
+    // J-class — join + aggregate (broadcast dimension)
+    "q09_join_revenue" -> ((s, dir) => {
+      val o = read(s, dir, "orders")
+      val c = read(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+             count(lit(1)).as("n_orders"))
+    }),
+
+    // A8/A19 — duplicate-key statistics (quick-stats shape)
+    "q10_dup_stats" -> ((s, dir) => {
+      val o = read(s, dir, "orders")
+      o.groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("distinct_keys"),
+             sum(col("cnt") - 1).as("duplicate_rows"),
+             sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("keys_with_dups"))
+    }),
+
+    // C16 — median imputation (nulls constructed deterministically)
+    "q11_impute_median" -> ((s, dir) => {
+      val ev = read(s, dir, "events")
+      val masked = ev.withColumn("v",
+        when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")))
+      val med = masked.agg(
+        expr("percentile(v, 0.5)").as("m")).collect()(0).getDouble(0)
+      masked.select(col("event_id"), round(coalesce(col("v"), lit(med)), 2).as("value_imputed"))
+    }),
+
+    // C18/C20 — range clip with fixed bounds + violation count per flag
+    "q12_outlier_clip" -> ((s, dir) => {
+      read(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(Cleaners.clip(col("l_extendedprice"), 1000.0, 50000.0)), 2).as("sum_clipped"),
+             sum((col("l_extendedprice") < 1000.0 || col("l_extendedprice") > 50000.0)
+               .cast("long")).as("n_outliers"))
+    }),
+
+    // A10 — IQR bounds from exact percentiles (driver fold → single-row df)
+    "q12b_iqr_bounds" -> ((s, dir) => {
+      read(s, dir, "lineitem").agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("q1"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("q3"))
+    }),
+
+    // ------------------------------------------------------------- text ops
+    "q13_text_stats" -> ((s, dir) => {
+      read(s, dir, "documents").select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        round(Text.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(Text.stopwordRatio(col("text")), 4).as("stopword_ratio"))
+    }),
+
+    "q14_lang_quality" -> ((s, dir) => {
+      read(s, dir, "documents").select(
+        col("doc_id"),
+        Text.langId(col("text")).as("lang_guess"),
+        Text.qualityScore(col("text")).as("quality"))
+    }),
+
+    "q15_fingerprint" -> ((s, dir) => {
+      read(s, dir, "documents").select(
+        col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // ----------------------------------------------------------- dedup family
+    // exact dedup on a 64-char normalized prefix (non-trivial groups exist)
+    "q16_exact_dedup_prefix" -> ((s, dir) => {
+      read(s, dir, "documents")
+        .groupBy(substring(Text.normalize(col("text")), 1, 64).as("prefix"))
+        .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("keep_id"))
+        .where(col("dup_count") > 1)
+        .select(Text.portableHash(col("prefix")).as("prefix_hash"),
+          col("dup_count"), col("keep_id"))
+    }),
+
+    // MinHash signatures (first 4 hash slots exposed for oracle check)
+    "q17_minhash_sig" -> ((s, dir) => {
+      val sig = Dedup.minhashSignature(col("text"), k = 4, shingleK = 3)
+      read(s, dir, "documents").select(
+        col("doc_id"),
+        element_at(sig, 1).as("mh0"), element_at(sig, 2).as("mh1"),
+        element_at(sig, 3).as("mh2"), element_at(sig, 4).as("mh3"))
+    }),
+
+    // MinHash LSH candidate pairs (rows-only: banding join not ANSI-friendly)
+    "q17b_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashCandidatePairs(read(s, dir, "documents"), "text", "doc_id",
+        k = 16, bands = 4, shingleK = 3)
+    }),
+
+    // SimHash (16-bit portable variant for oracle tractability)
+    "q18_simhash" -> ((s, dir) => {
+      read(s, dir, "documents").select(
+        col("doc_id"), Dedup.simhash(col("text"), bits = 16).as("simhash16"))
+    }),
+
+    // n-gram Jaccard near-dup pairs, min-shingle blocking (rows-only)
+    "q20_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(read(s, dir, "documents"), "text", "doc_id",
+        shingleK = 3, minJaccard = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    // ------------------------------------------------------ similarity search
+    // brute-force cosine top-1 for the first 10 vectors
+    "q19_cosine_top1" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", "q_id", "q_vec", 1)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+    }),
+
+    // LSH-bucketed ANN (scale path; rows-only — hyperplane hashing in SQL is
+    // impractical); recall vs q19 asserted in ScalaTest instead
+    "q19b_lsh_ann" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.lshTopK(emb, q, "vec_id", "embedding", "q_id", "q_vec", 1, planes = 4)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+    }),
+
+    // embedding near-duplicates (rows-only)
+    "q21_embedding_neardup" -> ((s, dir) => {
+      // testdata embeddings are near-random (max pairwise cos ≈ 0.51), so the
+      // "near-dup" threshold here is 0.4 to exercise the operator non-trivially
+      Dedup.embeddingNearDups(read(s, dir, "embeddings"), "embedding", "vec_id",
+        minCos = 0.4, planes = 2)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+    }),
+
+    // ------------------------------------------------------- cleaning family
+    "q22_normalize_text" -> ((s, dir) => {
+      read(s, dir, "events").select(
+        col("event_id"),
+        Cleaners.normalizeCase(col("event_type"), "title").as("type_title"),
+        Cleaners.standardizeNulls(col("event_type")).as("type_std"))
+    }),
+
+    "q23_numeric_coercion" -> ((s, dir) => {
+      // exercise C2 on synthetic dirty strings derived deterministically
+      read(s, dir, "events").select(
+        col("event_id"),
+        round(Cleaners.coerceNumeric(
+          concat(lit("$"), col("value").cast("string"))), 2).as("value_coerced"))
+    }),
+
+    "q24_boolean_coercion" -> ((s, dir) => {
+      read(s, dir, "events").select(
+        col("event_id"),
+        Cleaners.coerceBoolean(
+          when(col("value") > 100, lit("yes")).otherwise(lit("OFF"))).as("flag"))
+    })
+  ) ++ engineQueries
+
+  /** Engine-level queries over the generated fixture docs (rows-only checks:
+    * the docs table shape isn't part of the external testdata). */
+  private def engineQueries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
+    "q30_engine_verdicts" -> ((s, dir) => {
+      val docs = graft.fixtures.Fixtures.docs(s, 20000, 8)
+      val assets = graft.fixtures.Fixtures.assets(s)
+      val cfg = graft.engine.EngineConfig(rules = Seq(
+        BoundRule(Required("doc_id")), BoundRule(SpanOffsetsMonotonic()),
+        BoundRule(SpanFieldConsistency()), BoundRule(SpansNonEmpty())))
+      val (verdicts, _) = new graft.engine.ValidationRun(s, cfg).run(docs, Some(assets))
+      verdicts
+    }),
+    "q31_engine_violations" -> ((s, dir) => {
+      val docs = graft.fixtures.Fixtures.docs(s, 20000, 8)
+      val assets = graft.fixtures.Fixtures.assets(s)
+      val cfg = graft.engine.EngineConfig(rules = Seq(
+        BoundRule(Required("doc_id")), BoundRule(SpanOffsetsMonotonic()),
+        BoundRule(SpanFieldConsistency()), BoundRule(SpansNonEmpty())))
+      val (_, viols) = new graft.engine.ValidationRun(s, cfg).run(docs, Some(assets))
+      viols.groupBy("rule_id").agg(count(lit(1)).as("n"))
+    })
+  )
+
+  /** DuckDB oracles. Table names = parquet basenames. */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,203 @@
+package graft.clean
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.AuditEntry
+import graft.stats.Profiler
+
+/** Stage outcome ladder (`/root/reference/src/engine/stages/base_stage.py:7-10`). */
+object StageState extends Enumeration { val PASS, WARN, FAIL = Value }
+
+/** Pipeline configuration — the subset of `config/default.yaml` the atomic
+  * engine consumes (`/root/reference/src/engine/config.py`). */
+case class CleanConfig(
+    requiredColumns: Seq[String] = Nil,
+    expectedTypes: Map[String, String] = Map.empty,
+    caseMode: String = "none",
+    removeDuplicates: Boolean = false,
+    duplicateKeys: Seq[String] = Nil,
+    destructiveRowDeletion: Boolean = false,
+    maxMissingRowPct: Double = 50.0,
+    outlierMethod: String = "iqr",
+    coerceNumericThreshold: Double = 0.10,
+    coerceBooleanThreshold: Double = 0.80,
+    imputeMissing: Boolean = true,
+    runTs: java.sql.Timestamp = java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+
+case class StageResult(df: DataFrame, state: StageState.Value, detail: String)
+
+/**
+ * The atomic cleaning pipeline — Spark re-expression of
+ * `LifecycleManager.run_pipeline` (`/root/reference/src/engine/lifecycle.py:20-59`)
+ * with the canonical stage order SchemaCheck → DetectTypes → CleanData →
+ * Duplicates → MissingValues → Outliers, fail-fast on FAIL, audit entry per
+ * stage. Each stage is a lazy DataFrame transform; stats-dependent stages
+ * (detect/impute/outliers) run one driver-side agg to parameterize their
+ * expressions, so the whole pipeline materializes in a handful of scans
+ * instead of the reference's copy-per-stage model.
+ */
+class CleaningPipeline(spark: SparkSession, config: CleanConfig = CleanConfig()) {
+
+  private val auditBuf = scala.collection.mutable.ArrayBuffer[AuditEntry]()
+  def audit: Seq[AuditEntry] = auditBuf.toSeq
+  private def log(stage: String, status: StageState.Value, detail: String,
+                  rowsIn: Long = -1, rowsOut: Long = -1): Unit =
+    auditBuf += AuditEntry("run-0", stage, status.toString, rowsIn, rowsOut, detail)
+
+  /** Stage 1 — SCHEMA_CHECK (`schema_check.py:16-35`): missing required
+    * column ⇒ FAIL; unexpected / all-null columns ⇒ WARN. Read-only. */
+  def schemaCheck(df: DataFrame): StageResult = {
+    val missing = config.requiredColumns.filterNot(df.columns.contains)
+    if (missing.nonEmpty) {
+      log("SCHEMA_CHECK", StageState.FAIL, s"missing required: ${missing.mkString(",")}")
+      return StageResult(df, StageState.FAIL, s"missing=${missing.mkString(",")}")
+    }
+    val unexpected =
+      if (config.requiredColumns.isEmpty) Nil
+      else df.columns.filterNot(config.requiredColumns.contains).toSeq
+    // all-null detection: one agg
+    val nullAgg = df.agg(count(lit(1)).as("__n"),
+      df.columns.map(c => sum(col(c).isNotNull.cast("long")).as(c)): _*).collect()(0)
+    val allNull = df.columns.filter(c => nullAgg.getAs[Long](c) == 0L)
+    val state = if (unexpected.nonEmpty || allNull.nonEmpty) StageState.WARN else StageState.PASS
+    log("SCHEMA_CHECK", state, s"unexpected=${unexpected.mkString(",")} allNull=${allNull.mkString(",")}")
+    StageResult(df, state, "")
+  }
+
+  /** Stage 2 — DETECT_TYPES (C1–C5): sample-driven coercion decisions on the
+    * driver, then ONE withColumns projection applying every coercion. */
+  def detectTypes(df: DataFrame): StageResult = {
+    val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    var out = df
+    val decisions = scala.collection.mutable.ArrayBuffer[String]()
+    strCols.foreach { c =>
+      val numRate = Cleaners.numericTextRate(df, c)
+      val boolRate = Cleaners.booleanTokenRate(df, c)
+      if (boolRate >= config.coerceBooleanThreshold) {
+        out = out.withColumn(c, Cleaners.coerceBoolean(col(c)))
+        decisions += s"$c->boolean"
+      } else if (numRate >= math.max(config.coerceNumericThreshold, 0.5)) {
+        // reference uses 10% to *attempt* but only keeps on success;
+        // ≥50% match keeps the conversion meaningful
+        out = out.withColumn(c, Cleaners.coerceNumeric(col(c)))
+        decisions += s"$c->double"
+      } else {
+        // datetime detection: ≥30% parseable (detect_types.py:314)
+        val parseRate = {
+          val r = df.filter(col(c).isNotNull).limit(100)
+            .agg(avg(Cleaners.parseDateMulti(col(c)).isNotNull.cast("double"))).collect()(0)
+          if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+        }
+        if (parseRate >= 0.3) {
+          out = out.withColumn(c, Cleaners.parseDateMulti(col(c)))
+          decisions += s"$c->timestamp"
+        }
+      }
+    }
+    log("DETECT_TYPES", if (decisions.nonEmpty) StageState.WARN else StageState.PASS,
+      decisions.mkString(","))
+    StageResult(out, StageState.PASS, decisions.mkString(","))
+  }
+
+  /** Stage 3 — CLEAN_DATA (C7/C10): trim + case + null standardization over
+    * every string column, single projection (`clean_data.py:16-45`). */
+  def cleanData(df: DataFrame): StageResult = {
+    val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    val out = strCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, Cleaners.standardizeNulls(
+        Cleaners.normalizeCase(col(c), config.caseMode)))
+    }
+    log("CLEAN_DATA", if (strCols.nonEmpty) StageState.WARN else StageState.PASS,
+      s"normalized ${strCols.length} string cols (case=${config.caseMode})")
+    StageResult(out, StageState.PASS, "")
+  }
+
+  /** Stage 4 — DUPLICATES (`duplicates.py:14-39`): count always; drop only
+    * when permitted. */
+  def duplicates(df: DataFrame): StageResult = {
+    val dupCount = Profiler.duplicateRowCount(df, config.duplicateKeys)
+    if (dupCount == 0) { log("DUPLICATES", StageState.PASS, "none"); return StageResult(df, StageState.PASS, "") }
+    if (config.removeDuplicates || config.destructiveRowDeletion) {
+      val out = Cleaners.dropDuplicates(df, config.duplicateKeys)
+      log("DUPLICATES", StageState.WARN, s"dropped $dupCount")
+      StageResult(out, StageState.WARN, s"dropped=$dupCount")
+    } else {
+      log("DUPLICATES", StageState.WARN, s"preserved $dupCount (deletion disabled)")
+      StageResult(df, StageState.WARN, s"preserved=$dupCount")
+    }
+  }
+
+  /** Stage 5 — MISSING_VALUES (`missing_values.py:22-67`): optional high-
+    * missingness row drop, then numeric→median / string→mode imputation. */
+  def missingValues(df: DataFrame): StageResult = {
+    val nCols = df.columns.length
+    val rowNulls = df.columns.map(c => col(c).isNull.cast("int")).reduce(_ + _)
+    val tooMissing = rowNulls * 100.0 / nCols > config.maxMissingRowPct
+    val afterDrop =
+      if (config.destructiveRowDeletion) df.filter(!tooMissing) else df
+    val out = if (config.imputeMissing) Cleaners.imputeDefaults(afterDrop) else afterDrop
+    log("MISSING_VALUES", StageState.WARN, "median/mode imputation")
+    StageResult(out, StageState.PASS, "")
+  }
+
+  /** Stage 6 — OUTLIERS (`outliers.py:14-47`): per-numeric-column IQR (or
+    * z-score) bounds from one quantile pass, then a single clip projection. */
+  def outliers(df: DataFrame): StageResult = {
+    val numCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name }
+    if (numCols.isEmpty) { log("OUTLIERS", StageState.PASS, "no numeric cols"); return StageResult(df, StageState.PASS, "") }
+    // ONE pass for all bounds
+    val aggs = numCols.flatMap { c =>
+      if (config.outlierMethod == "iqr")
+        Seq(percentile_approx(col(c).cast("double"), array(lit(0.25), lit(0.75)),
+          lit(10000)).as(s"$c::q"))
+      else
+        Seq(avg(col(c).cast("double")).as(s"$c::mu"),
+            stddev_samp(col(c).cast("double")).as(s"$c::sd"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    var out = df
+    val clipped = scala.collection.mutable.ArrayBuffer[String]()
+    numCols.foreach { c =>
+      val boundsOpt: Option[(Double, Double)] =
+        if (config.outlierMethod == "iqr") {
+          val i = row.fieldIndex(s"$c::q")
+          if (row.isNullAt(i)) None else {
+            val q = row.getSeq[Double](i)
+            val iqr = q(1) - q(0)
+            Some((q(0) - 1.5 * iqr, q(1) + 1.5 * iqr))
+          }
+        } else {
+          val (mi, si) = (row.fieldIndex(s"$c::mu"), row.fieldIndex(s"$c::sd"))
+          if (row.isNullAt(mi) || row.isNullAt(si) || row.getDouble(si) == 0.0) None
+          else Some((row.getDouble(mi) - 3 * row.getDouble(si),
+                     row.getDouble(mi) + 3 * row.getDouble(si)))
+        }
+      boundsOpt.foreach { case (lo, hi) =>
+        val origType = df.schema(c).dataType
+        out = out.withColumn(c, Cleaners.clip(col(c).cast("double"), lo, hi).cast(origType))
+        clipped += c
+      }
+    }
+    log("OUTLIERS", if (clipped.nonEmpty) StageState.WARN else StageState.PASS,
+      s"clipped: ${clipped.mkString(",")}")
+    StageResult(out, StageState.PASS, "")
+  }
+
+  /** Full pipeline in canonical order, fail-fast (`lifecycle.py:29-59`). */
+  def run(df: DataFrame): (DataFrame, StageState.Value) = {
+    val stages: Seq[DataFrame => StageResult] = Seq(
+      schemaCheck, detectTypes, cleanData, duplicates, missingValues, outliers)
+    var cur = df
+    var worst = StageState.PASS
+    stages.foreach { st =>
+      if (worst != StageState.FAIL) {
+        val r = st(cur)
+        cur = r.df
+        if (r.state.id > worst.id) worst = r.state
+      }
+    }
+    (cur, worst)
+  }
+}

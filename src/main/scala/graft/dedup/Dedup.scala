@@ -1,0 +1,164 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.Text
+
+/**
+ * Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+ * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+ *
+ * Scale design: every method is a hash-partitioned groupBy/join — no
+ * windows over the full table, no driver-side pair enumeration. Candidate
+ * generation is always blocked (band buckets / fingerprints) so the pair
+ * space is bucket-local; AQE handles bucket skew (giant clusters of
+ * near-identical docs are the common skew case at 100 TB).
+ *
+ * `portable = true` uses md5-derived hashes (identical in any SQL engine,
+ * used by oracle-checked tests); `false` uses xxhash64 (the fast path).
+ */
+object Dedup {
+
+  private def h(c: Column, portable: Boolean): Column =
+    if (portable) Text.portableHash(c) else Text.fastHash(c)
+
+  // ------------------------------------------------------------------ exact
+
+  /** Exact duplicate groups by normalized-text fingerprint:
+    * (fingerprint, dup_count, keep_id = min id). Survivors = anti-join of the
+    * input against (group minus keeper); at scale this is one hash-agg plus
+    * one broadcast-able join on the (small) duplicate set. */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String,
+                     portable: Boolean = true): DataFrame =
+    df.select(h(Text.normalize(col(textCol)), portable).as("fingerprint"),
+              col(idCol).as("id"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("dup_count"), min("id").as("keep_id"))
+      .where(col("dup_count") > 1)
+
+  /** Exact dedup: keep one row (min id) per normalized-text group. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String,
+                 portable: Boolean = false): DataFrame = {
+    val fp = h(Text.normalize(col(textCol)), portable)
+    df.withColumn("__fp", fp)
+      .withColumn("__keep", col(idCol) === min(col(idCol))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
+      .where(col("__keep")).drop("__fp", "__keep")
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** MinHash signature (k values) over word `shingleK`-shingles.
+    * hash_i(s) = hash(s || '#' || i); signature[i] = min over shingles. */
+  def minhashSignature(textCol: Column, k: Int = 16, shingleK: Int = 3,
+                       portable: Boolean = true): Column = {
+    val sh = Text.shingles(textCol, shingleK)
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(sh, s => h(concat(s, lit("#"), i.cast("string")), portable))))
+  }
+
+  /** LSH band keys: the signature split into `bands` bands of `k/bands` rows,
+    * each band hashed to one key. Docs sharing any band key are candidates. */
+  def lshBandKeys(sig: Column, bands: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b => {
+      val bandSize = size(sig) / bands
+      val bandVals = slice(sig, b * bandSize + 1, bandSize)
+      struct(b.as("band"),
+        Text.portableHash(concat_ws(",", transform(bandVals, v => v.cast("string"))))
+          .as("key"))
+    })
+
+  /** Candidate near-dup pairs via MinHash LSH: explode band keys, self-join
+    * within (band, key) buckets, keep id_a < id_b, distinct. The join is
+    * bucket-local: shuffle on the band key, never a full cross join. */
+  def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+                            k: Int = 16, bands: Int = 4, shingleK: Int = 3,
+                            portable: Boolean = true): DataFrame = {
+    val withBands = df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), k, shingleK, portable).as("sig"))
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+    val a = withBands.alias("a")
+    val b = withBands.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+  }
+
+  /** Estimated Jaccard similarity of two MinHash signatures. */
+  def minhashJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)).cast("double") /
+      size(sigA)
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** SimHash over word tokens, `bits` wide (≤ 32 portable / ≤ 63 fast):
+    * bit b is set iff Σ_tokens (bit b of hash(token) ? +1 : −1) > 0. */
+  def simhash(textCol: Column, bits: Int = 32, portable: Boolean = true): Column = {
+    val toks = Text.tokens(Text.normalize(textCol))
+    val hashes = transform(toks, t => h(t, portable))
+    val bitCols: Seq[Column] = (0 until bits).map { b =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, x) => acc + when(shiftright(x, b) % 2 =!= 0, 1).otherwise(-1))
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (popcount via bit_count). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: block on the high `blockBits` bits (docs
+    * within small hamming distance usually share the high block for at least
+    * one of several rotations; single-block round-1 variant), then verify by
+    * full hamming distance ≤ maxDist. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   bits: Int = 32, maxDist: Int = 3,
+                   portable: Boolean = true): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      simhash(col(textCol), bits, portable).as("sig"))
+    val blocked = sigs.withColumn("block", shiftright(col("sig"), bits / 2))
+    val a = blocked.alias("a"); val b = blocked.alias("b")
+    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .where(hammingDistance(col("a.sig"), col("b.sig")) <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hammingDistance(col("a.sig"), col("b.sig")).as("dist"))
+  }
+
+  // ---------------------------------------------------------- n-gram Jaccard
+
+  /** Exact n-gram Jaccard similarity for candidate pairs: pairs blocked by a
+    * shared shingle-prefix fingerprint, then exact |∩|/|∪| on distinct
+    * shingle sets — array ops per pair, no exploded join. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        shingleK: Int = 3, minJaccard: Double = 0.5,
+                        portable: Boolean = true): DataFrame = {
+    val withSh = df.select(col(idCol).as("id"),
+      array_distinct(Text.shingles(col(textCol), shingleK)).as("sh"),
+      // block key: hash of the lexicographically-smallest shingle — cheap
+      // blocking that guarantees any pair sharing their min shingle collides
+      h(array_min(Text.shingles(col(textCol), shingleK)), portable).as("block"))
+    val a = withSh.alias("a"); val b = withSh.alias("b")
+    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+         size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Embedding cosine near-duplicates above `minCos`, blocked by sign-bit LSH
+    * (see [[graft.sim.Similarity.hyperplaneBucket]]); exact cosine verified
+    * inside buckets. */
+  def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
+                        minCos: Double = 0.95, planes: Int = 8): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      graft.sim.Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val a = bucketed.alias("a"); val b = bucketed.alias("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.sim.Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+}

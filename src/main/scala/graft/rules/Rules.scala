@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.RuleSpec
+import org.apache.spark.sql.types.{DoubleType, DateType, TimestampType}
 import graft.core.RuleSpec._
 
 /**
@@ -46,7 +47,9 @@ object Rules {
     case _ => s"Invalid ${spec.column}"
   }
 
-  private def num(c: Column): Column = c.cast("double")
+  // pandas `to_numeric(errors='coerce')` ≙ try_cast: malformed → null, never
+  // a runtime error (Spark 4 ANSI `cast` would throw).
+  private def num(c: Column): Column = c.cast("string").try_cast(DoubleType)
 
   /** True where the row violates `spec`. Helper columns for Unique / InColumn
     * must already be attached (see [[ValidationEngine.withHelperColumns]]). */
@@ -84,7 +87,7 @@ object Rules {
       col(c).isNull || !length(col(c).cast("string")).between(lo, hi)
     // P12b
     case DateRange(c, lo, hi) =>
-      col(c).isNull || !col(c).cast("date").between(lit(lo).cast("date"), lit(hi).cast("date"))
+      col(c).isNull || !col(c).cast("string").try_cast(DateType).between(lit(lo).cast("date"), lit(hi).cast("date"))
     // P12c / P15 — enum mask (`/root/reference/src/engine/rules/categorical_rules.py:11-13`)
     case AllowedValues(c, allowed) =>
       !coalesce(col(c).isin(allowed: _*), lit(false))
@@ -93,7 +96,7 @@ object Rules {
       num(col(c)).isNull || num(col(c)) < lo || num(col(c)) > hi
     // P16 — future date with pinned run timestamp (`cleaning_engine.py:309-314`)
     case NoFutureDate(c, runTs) =>
-      coalesce(col(c).cast("timestamp") > lit(runTs), lit(false))
+      coalesce(col(c).cast("string").try_cast(TimestampType) > lit(runTs), lit(false))
 
     // ---- span-level rules over spans: array<struct<kind,text,media_ref,offset>> ----
     // offsets strictly increasing: any adjacent pair with next <= prev violates

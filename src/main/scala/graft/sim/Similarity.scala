@@ -1,0 +1,90 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.text.Text
+
+/**
+ * Similarity search over embedding columns (`array<float>`).
+ *
+ * Two paths:
+ *  - [[bruteForceTopK]] — exact cosine top-k via a (broadcast) query×corpus
+ *    join; the baseline, O(|Q|·|C|·d), fine when |Q| is small.
+ *  - [[lshTopK]] — random-hyperplane LSH buckets; candidates only within the
+ *    query's bucket(s). The 100 TB path: bucket key is computed per row in one
+ *    projection, the join shuffles on the bucket key, and recall is tuned by
+ *    `planes` (fewer planes = bigger buckets = higher recall, more compute).
+ *
+ * All math is Catalyst HOFs (`zip_with`/`aggregate`) over the array columns —
+ * no UDFs, no vector collection to the driver. Hyperplanes are deterministic
+ * pseudo-random vectors derived from a hash of (plane, dim): no external
+ * randomness, identical across runs and engines.
+ */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ via zip_with + aggregate (double accumulation, in array order —
+    * reproducible across engines that accumulate sequentially). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * maps a portable hash to [−0.5, 0.5). */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(Text.portableHash(concat(lit(s"pl$plane#"), dim.cast("string"))),
+      lit(1000L)).cast("double") / 1000.0) - 0.5
+
+  /** Sign of the projection of `v` on hyperplane `plane` (1 bit). */
+  def planeBit(v: Column, plane: Int): Column = {
+    val proj = aggregate(
+      zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, i) => x.cast("double") * planeComponent(plane, i)),
+      lit(0.0), (acc, x) => acc + x)
+    when(proj >= 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** Random-hyperplane LSH bucket id: `planes` sign bits packed to a long. */
+  def hyperplaneBucket(v: Column, planes: Int = 8): Column =
+    (0 until planes).map(p => planeBit(v, p) * lit(1L << p)).reduce(_ + _)
+
+  /** Exact cosine top-k for each query row. `queries` must be small enough to
+    * broadcast (driver hints it); corpus side streams. Deterministic
+    * tie-break on neighbor id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, qIdCol: String,
+                     qVecCol: String, k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .where(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol).as("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col(qVecCol), col(vecCol)).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share the query's bucket.
+    * Same output shape as [[bruteForceTopK]]; recall < 1 by design. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+              k: Int, planes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
+      hyperplaneBucket(col(qVecCol), planes).as("bucket"))
+    val joined = c.join(q, "bucket")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

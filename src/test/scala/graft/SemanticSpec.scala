@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.fixtures.Fixtures
+import graft.semantic._
+
+/** Mirrors the reference's semantic E2E expectations
+  * (`/root/reference/tests/test_dynamic_pipeline.py:196-237`,
+  * `/root/reference/tests/verify_semantic_deep.py:205-217`). */
+class SemanticSpec extends SparkSpec {
+  import spark.implicits._
+
+  val runTs = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+  lazy val people = Fixtures.people(spark)
+  lazy val typeMap = Detector.detectTypes(people)
+
+  test("detector: exact semantic types per column (reference fixture)") {
+    assert(typeMap("Name").detectedType === ColumnType.PERSON_NAME)
+    assert(typeMap("DOB").detectedType === ColumnType.DATE_OF_BIRTH)
+    assert(typeMap("Age").detectedType === ColumnType.AGE)
+    assert(typeMap("Phone").detectedType === ColumnType.PHONE_NUMBER)
+    assert(typeMap("Email").detectedType === ColumnType.EMAIL)
+    assert(typeMap("Location").detectedType === ColumnType.LOCATION)
+    assert(typeMap("Gender").detectedType === ColumnType.GENDER)
+  }
+
+  test("validators: expected issue set on dirty people fixture") {
+    val issues = SemanticValidators.validate(people, typeMap, runTs)
+    val byRule = issues.map(i => i.rule_id -> i.rows_affected).toMap
+    assert(byRule("NAME_format") === 5)      // every non-null name is single-word
+    assert(byRule("PHONE_format") === 1)     // "12345"
+    assert(byRule("EMAIL_format") === 2)     // rahul@domain, anjali@invalid
+    assert(byRule("AGE_range") === 3)        // 35845, 150, 44211
+    assert(!byRule.contains("DOB_range"))    // no future parseable dates
+    assert(!byRule.contains("GENDER_standard")) // all tokens standard (nulls skipped)
+    val email = issues.find(_.rule_id == "EMAIL_format").get
+    assert(email.severity === "ERROR")
+    assert(email.message === "Invalid email format")
+    assert(email.examples.toSet === Set("rahul@domain", "anjali@invalid"))
+  }
+
+  test("excel serial 35845 → 19-02-1998 (dynamic_cleaner.py:103-113 epoch math)") {
+    // NOTE: the reference's prose expectation in verify_semantic_deep.py:53-55
+    // says 14-02-1998, but its own implementation (1899-12-30 + 35845 days,
+    // dynamic_cleaner.py:110) yields 1998-02-19; the script prints without
+    // asserting. We match the reference CODE, not the stale comment.
+    val got = spark.range(1).select(
+      SemanticCleaners.normalizeDob(lit("35845")).as("d"),
+      SemanticCleaners.cleanDate(lit("35845")).as("iso"),
+      SemanticCleaners.normalizeDob(lit("not_a_date")).as("keep"))
+      .collect()(0)
+    assert(got.getString(0) === "19-02-1998")
+    assert(got.getString(1) === "1998-02-19")
+    assert(got.getString(2) === "not_a_date")   // original preserved on failure
+  }
+
+  test("cleaners: phone/gender/email/name standardization") {
+    val r = spark.range(1).select(
+      SemanticCleaners.cleanPhone(lit("98765 43210")).as("p_in"),
+      SemanticCleaners.cleanPhone(lit("12345")).as("p_short"),
+      SemanticCleaners.cleanGender(lit("M")).as("g_m"),
+      SemanticCleaners.cleanGender(lit("woman")).as("g_w"),
+      SemanticCleaners.cleanGender(lit("x")).as("g_x"),
+      SemanticCleaners.cleanGender(lit(null).cast("string")).as("g_null"),
+      SemanticCleaners.cleanEmail(lit("  John.DOE@Example.COM ")).as("e"),
+      SemanticCleaners.cleanName(lit("  john   doe!! ")).as("n")).collect()(0)
+    assert(r.getString(0) === "+91-9876543210")
+    assert(r.getString(1) === "12345")
+    assert(r.getString(2) === "Male")
+    assert(r.getString(3) === "Female")
+    assert(r.getString(4) === "Unknown")
+    assert(r.getString(5) === "Unknown")
+    assert(r.getString(6) === "john.doe@example.com")
+    assert(r.getString(7) === "John   Doe")
+  }
+
+  test("scorer: penalty math matches scorer.py (weights 5/2/0.5, ×10, cap 15)") {
+    import graft.core.ValidationIssue
+    val issues = Seq(
+      ValidationIssue("a", "EMAIL", "ERROR", "EMAIL_format", "", 2, Nil, ""),
+      ValidationIssue("b", "AGE", "WARNING", "AGE_range", "", 1, Nil, ""),
+      ValidationIssue("c", "X", "INFO", "X_style", "", 10, Nil, ""))
+    val s = Scorer.score(10, issues)
+    // ERROR: 2/10*5*10 = 10; WARNING: 1/10*2*10 = 2; INFO: 10/10*0.5*10 = 5 → 17
+    assert(s.penaltyTotal === 17.0)
+    assert(s.score === 83.0)
+    // cap: one issue affecting all rows at ERROR = min(50, 15) = 15
+    val s2 = Scorer.score(10,
+      Seq(ValidationIssue("a", "E", "ERROR", "r", "", 10, Nil, "")))
+    assert(s2.penaltyTotal === 15.0)
+  }
+
+  test("full pipeline: cleaned values match reference semantics") {
+    val res = SemanticPipeline.process(people, runTs)
+    // phones formatted: valid 10-digit ones get +91- prefix
+    val phones = res.cleaned.select($"Phone").as[String].collect().toSet
+    assert(phones.contains("+91-9876543210"))
+    // genders standardized, null → Unknown
+    val genders = res.cleaned.select($"Gender").as[String].collect().toSet
+    assert(genders === Set("Female", "Male", "Unknown"))
+    // Reference quirk preserved: _clean_phone emits "+91-XXXXXXXXXX" which
+    // _validate_phone (digits-only ≠ 10) then REJECTS, so PHONE_format
+    // failures INCREASE after cleaning and the score can drop — mirrored here.
+    val phoneAfter = res.issuesAfter.find(_.rule_id == "PHONE_format").map(_.rows_affected)
+    assert(phoneAfter.exists(_ >= 4))
+    // EMAIL issues unchanged by lower/trim cleaning of already-lowercase fixtures
+    assert(res.issuesAfter.find(_.rule_id == "EMAIL_format").map(_.rows_affected)
+      === res.issuesBefore.find(_.rule_id == "EMAIL_format").map(_.rows_affected))
+  }
+}
