@@ -1,24 +1,73 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark main (driver contract): runs every SparkEntry query on
+ * `SPARK_GRAFT_SF_DIR` plus the engine-throughput workload, prints ONE JSON
+ * line. Queries execute through the `noop` sink so the full plan runs
+ * (a bare `.count()` lets Catalyst prune projections to a count-star scan,
+ * which would benchmark nothing).
+ *
+ * The headline metric follows BASELINE.json: documents validated/sec for the
+ * full rule suite (verdicts + violation rows materialized) over the
+ * fixture-generated interleaved-docs table. `SPARK_GRAFT_BENCH_DOCS`
+ * overrides the doc count (default 1M).
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1000000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def execute(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // ---- per-query timings (full plan execution via noop sink)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try execute(fn(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // ---- engine throughput: the BASELINE.json headline metric.
+    // Docs written to parquet first so the measured pass reads real files.
+    val docsPath = s"/tmp/graft_bench_docs_$nDocs"
+    if (!new java.io.File(docsPath).exists()) {
+      graft.fixtures.Fixtures.docs(spark, nDocs, nParts = 32)
+        .write.mode("overwrite").parquet(docsPath)
+    }
+    val docs = spark.read.parquet(docsPath)
+    val assets = graft.fixtures.Fixtures.assets(spark)
+    val cfg = graft.engine.EngineConfig(rules = Seq(
+      graft.rules.BoundRule(graft.core.RuleSpec.Required("doc_id")),
+      graft.rules.BoundRule(graft.core.RuleSpec.SpanOffsetsMonotonic()),
+      graft.rules.BoundRule(graft.core.RuleSpec.SpanFieldConsistency()),
+      graft.rules.BoundRule(graft.core.RuleSpec.SpansNonEmpty())))
+    val run = new graft.engine.ValidationRun(spark, cfg)
+    val t0 = System.nanoTime()
+    val (verdicts, viols) = run.run(docs, Some(assets))
+    execute(viols)
+    execute(verdicts)
+    val engineSec = (System.nanoTime() - t0) / 1e9
+    val docsPerSec = nDocs / engineSec
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + engineSec
+    println(f"""{"metric":"docs_validated_per_sec","value":$docsPerSec%.0f,"unit":"docs/sec","total_sec":$total%.2f,"engine_sec":$engineSec%.2f,"engine_docs":$nDocs,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

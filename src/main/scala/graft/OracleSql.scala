@@ -223,6 +223,19 @@ object OracleSql {
         | round(TRY_CAST(regexp_replace(regexp_replace('$' || CAST(value AS VARCHAR), '[^0-9.\-+eE,]', '', 'g'), ',', '', 'g') AS DOUBLE), 2) AS value_coerced
         |FROM events""".stripMargin,
 
+    "q27_quality_score" ->
+      """WITH t AS (SELECT CAST(count(*) AS DOUBLE) AS total,
+        |  sum(CASE WHEN event_type IS NULL OR trim(CAST(event_type AS VARCHAR)) = '' THEN 1 ELSE 0 END) AS c1,
+        |  sum(CASE WHEN NOT coalesce(event_type IN ('click','view','purchase','signup','error'), FALSE) THEN 1 ELSE 0 END) AS c2,
+        |  sum(CASE WHEN value IS NULL OR value < 0.01 OR value > 400.0 THEN 1 ELSE 0 END) AS c3,
+        |  sum(CASE WHEN NOT coalesce(regexp_matches(props, '^\{.*\}$'), FALSE) THEN 1 ELSE 0 END) AS c4,
+        |  sum(CASE WHEN NOT coalesce(value >= 10 OR event_type <> 'view', FALSE) THEN 1 ELSE 0 END) AS c5
+        | FROM events),
+        |p AS (SELECT round(least(c1/total*5.0*10.0, 15.0), 2) + round(least(c2/total*5.0*10.0, 15.0), 2)
+        |           + round(least(c3/total*5.0*10.0, 15.0), 2) + round(least(c4/total*5.0*10.0, 15.0), 2)
+        |           + round(least(c5/total*5.0*10.0, 15.0), 2) AS pen FROM t)
+        |SELECT greatest(0.0, round(100.0 - pen, 2)) AS score, round(pen, 2) AS penalty_total FROM p""".stripMargin,
+
     "q24_boolean_coercion" ->
       """SELECT event_id,
         | CASE WHEN lower(trim(CASE WHEN value > 100 THEN 'yes' ELSE 'OFF' END)) IN ('true','yes','y','1','t','on','enabled') THEN TRUE

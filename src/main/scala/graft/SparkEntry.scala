@@ -282,7 +282,78 @@ object SparkEntry {
         Cleaners.coerceBoolean(
           when(col("value") > 100, lit("yes")).otherwise(lit("OFF"))).as("flag"))
     })
-  ) ++ engineQueries
+  ) ++ scoreQueries ++ engineQueries
+
+  // A21-A25/V11 — table quality score from rule failure counts (driver fold)
+  private def scoreQueries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
+    "q27_quality_score" -> ((s, dir) => {
+      import s.implicits._
+      val ev = read(s, dir, "events")
+      val res = ValidationEngine.validate(ev, eventRules)
+      val issues = res.columnSummary.map(c => graft.core.ValidationIssue(
+        c.column, "UNKNOWN", "ERROR", c.rule_id, "", c.failed_count, Nil, ""))
+      val sc = graft.semantic.Scorer.score(res.totalRows, issues)
+      Seq((sc.score, sc.penaltyTotal)).toDF("score", "penalty_total")
+    }),
+
+    // A26 north-rule drift: KS + chi2 over sketches (rows-only: sketch
+    // internals are engine-specific)
+    "q25_drift_check" -> ((s, dir) => {
+      import s.implicits._
+      val ev = read(s, dir, "events")
+      val base = ev.where(col("event_id") % 2 === 0).select(col("value").as("v"))
+      val same = ev.where(col("event_id") % 2 === 1).select(col("value").as("v"))
+      val drifted = same.select((col("v") * 1.5 + 25.0).as("v"))
+      val quiet = graft.stats.Drift.check(base, same, "v")
+      val loud = graft.stats.Drift.check(base, drifted, "v")
+      Seq(
+        ("same_dist", quiet.ks, quiet.ksDrifted, quiet.chi2, quiet.chi2Drifted),
+        ("shifted_dist", loud.ks, loud.ksDrifted, loud.chi2, loud.chi2Drifted)
+      ).toDF("case", "ks", "ks_drifted", "chi2", "chi2_drifted")
+        .select(col("case"), round(col("ks"), 4).as("ks"), col("ks_drifted"),
+          round(col("chi2"), 2).as("chi2"), col("chi2_drifted"))
+    }),
+
+    // A2 north-rule HLL sketches: estimate vs exact + relative error
+    "q26_hll_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val li = read(s, dir, "lineitem")
+      val hll = graft.stats.Sketches.hllCountDistinct(12)
+      val r = li.agg(
+        hll(xxhash64(col("l_partkey"))).as("est_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        hll(xxhash64(col("l_orderkey"))).as("est_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders")).collect()(0)
+      Seq(("l_partkey", r.getLong(0), r.getLong(1)),
+          ("l_orderkey", r.getLong(2), r.getLong(3)))
+        .toDF("column", "estimate", "exact")
+        .withColumn("rel_err_pct",
+          round(abs(col("estimate") - col("exact")) * 100.0 / col("exact"), 2))
+    }),
+
+    // V1-V11 + C27-C36 over the reference's semantic fixture (rows-only)
+    "q28_semantic_issues" -> ((s, dir) => {
+      import s.implicits._
+      val people = graft.fixtures.Fixtures.people(s)
+      val tm = graft.semantic.Detector.detectTypes(people)
+      val issues = graft.semantic.SemanticValidators.validate(people, tm,
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      issues.map(i => (i.column, i.rule_id, i.severity, i.rows_affected))
+        .toDF("column", "rule_id", "severity", "rows_affected")
+    }),
+    "q29_semantic_clean" -> ((s, dir) => {
+      val res = graft.semantic.SemanticPipeline.process(
+        graft.fixtures.Fixtures.people(s),
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      res.cleaned
+    }),
+
+    // multimodal plumbing: magic-byte sniff + checksum + stub decode (rows-only)
+    "q32_media_metadata" -> ((s, dir) => {
+      graft.multimodal.Media.extractMetadata(
+        graft.multimodal.Media.syntheticAssets(s, 500))
+    }))
 
   /** Engine-level queries over the generated fixture docs (rows-only checks:
     * the docs table shape isn't part of the external testdata). */

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.stats.{Drift, Sketches}
+import graft.multimodal.Media
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("HLL sketch: accuracy within 5% and merge-exactness") {
+    val df = spark.range(0, 50000).select(xxhash64(col("id")).as("h"))
+    val hll = Sketches.hllCountDistinct(12)
+    val est = df.agg(hll(col("h"))).collect()(0).getLong(0)
+    assert(math.abs(est - 50000) < 2500, s"estimate $est")
+    // merge property: sketch(A ∪ B) == merge(sketch(A), sketch(B))
+    val sk = Sketches.hllSketch(12)
+    val sa = spark.range(0, 25000).select(xxhash64(col("id")).as("h"))
+      .agg(sk(col("h"))).collect()(0).getAs[Array[Byte]](0)
+    val sb = spark.range(25000, 50000).select(xxhash64(col("id")).as("h"))
+      .agg(sk(col("h"))).collect()(0).getAs[Array[Byte]](0)
+    val whole = df.agg(sk(col("h"))).collect()(0).getAs[Array[Byte]](0)
+    assert(Sketches.mergeHllSketches(Seq(sa, sb)) ===
+           Sketches.HllState(whole).estimate)
+  }
+
+  test("histogram sketch: merge = element-wise add; totals preserved") {
+    val h = Sketches.histogram(0.0, 100.0, 10)
+    val a = spark.range(0, 1000).select((col("id") % 100).cast("double").as("v"))
+    val counts = a.agg(h(col("v"))).collect()(0).getSeq[Long](0)
+    assert(counts.sum === 1000)
+    assert(counts.forall(_ === 100))  // uniform 0..99 → 100 per bin
+  }
+
+  test("drift: identical distributions quiet, shifted distribution fires (F5)") {
+    val base = spark.range(0, 20000)
+      .select((pmod(xxhash64(col("id")), lit(1000)) / 10.0).as("v"))
+    val same = spark.range(0, 20000)
+      .select((pmod(xxhash64(col("id") + 1), lit(1000)) / 10.0).as("v"))
+    val shifted = base.select((col("v") * 1.3 + 20.0).as("v"))
+    val quiet = Drift.check(base, same, "v")
+    assert(!quiet.ksDrifted, s"false positive: $quiet")
+    val loud = Drift.check(base, shifted, "v")
+    assert(loud.ksDrifted && loud.chi2Drifted, s"missed drift: $loud")
+    assert(loud.ks > quiet.ks * 5)
+  }
+
+  test("drift: categorical chi2 fires on re-weighted categories") {
+    val a = spark.range(0, 10000).select(
+      when(col("id") % 10 < 5, "x").when(col("id") % 10 < 8, "y").otherwise("z").as("c"))
+    val b = spark.range(0, 10000).select(
+      when(col("id") % 10 < 2, "x").when(col("id") % 10 < 8, "y").otherwise("z").as("c"))
+    val sameR = Drift.checkCategorical(a, a, "c")
+    assert(sameR.statistic === 0.0)
+    val diffR = Drift.checkCategorical(a, b, "c")
+    assert(diffR.statistic > 100.0)
+  }
+
+  test("mean-shift mirrors quality_report.py tolerance rule") {
+    val r = Drift.meanShift(baseMean = 100.0, baseStd = 10.0, curMean = 104.0,
+      column = "v", importance = 1.0)
+    // tolerance = 0.15*10/1.1 = 1.3636…; |104-100| = 4 > tol → drift
+    assert(r.drifted && math.abs(r.tolerance - 1.3636) < 0.001)
+    assert(!Drift.meanShift(100.0, 10.0, 100.5, "v").drifted)
+  }
+
+  test("media: sniffing, checksums, stub decode shapes") {
+    val assets = Media.syntheticAssets(spark, 300)
+    val meta = Media.extractMetadata(assets)
+    val byFormat = meta.groupBy("sniffed_format").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byFormat("jpeg") === 100 && byFormat("png") === 100 && byFormat("mp3") === 100)
+    val row = meta.where(col("asset_id") === "asset-0").collect()(0)
+    assert(row.getAs[Long]("n_bytes") === 36)   // 4 magic + 32 md5 bytes
+    assert(row.getSeq[Double](row.fieldIndex("features")).length === 8)
+    // deterministic: second run identical
+    val row2 = Media.extractMetadata(Media.syntheticAssets(spark, 300))
+      .where(col("asset_id") === "asset-0").collect()(0)
+    assert(row.getAs[Long]("checksum") === row2.getAs[Long]("checksum"))
+    // byte-range sampling: 4 slices of 8 bytes
+    val s = assets.select(Media.sampleBytesExpr("payload", 4, 8).as("s"))
+      .limit(1).collect()(0).getSeq[Array[Byte]](0)
+    assert(s.length === 4 && s.forall(_.length === 8))
+  }
+}
