@@ -57,8 +57,13 @@ object OracleSql {
     s"ELSE list_transform(generate_series(1, len($tk) - 2), i -> array_to_string(($tk)[i:i+2], ' ')) END)"
   }
 
-  private def minhashSlot(i: Int) =
-    s"list_min(list_transform(${shingles3("text")}, s -> ${hx(s"s || '#$i'")}))"
+  // Slot i hashes md5(shingle || '#' || i/2); even slots take hex chars 1-15,
+  // odd slots chars 16-30 (two 60-bit hashes per digest — matches MinHashSig).
+  private def minhashSlot(i: Int) = {
+    val digest = s"md5(s || '#${i / 2}')"
+    val sub = if (i % 2 == 0) s"substring($digest, 1, 15)" else s"substring($digest, 16, 15)"
+    s"list_min(list_transform(${shingles3("text")}, s -> CAST(('0x' || $sub) AS BIGINT)))"
+  }
 
   private val simhash16 = {
     val hashes = s"list_transform(${toks(norm("text"))}, t -> ${hx("t")})"
@@ -222,6 +227,13 @@ object OracleSql {
       """SELECT event_id,
         | round(TRY_CAST(regexp_replace(regexp_replace('$' || CAST(value AS VARCHAR), '[^0-9.\-+eE,]', '', 'g'), ',', '', 'g') AS DOUBLE), 2) AS value_coerced
         |FROM events""".stripMargin,
+
+    "q35_cell_diff" ->
+      """SELECT 'event_type' AS "column", CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS changed_cells FROM events
+        |UNION ALL SELECT 'props', CAST(0 AS BIGINT) FROM (SELECT 1)
+        |UNION ALL SELECT 'ts', CAST(0 AS BIGINT) FROM (SELECT 1)
+        |UNION ALL SELECT 'user_id', CAST(0 AS BIGINT) FROM (SELECT 1)
+        |UNION ALL SELECT 'value', CAST(0 AS BIGINT) FROM (SELECT 1)""".stripMargin,
 
     "q27_quality_score" ->
       """WITH t AS (SELECT CAST(count(*) AS DOUBLE) AS total,

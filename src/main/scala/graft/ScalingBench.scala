@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.core.RuleSpec._
+import graft.rules.BoundRule
+
+/**
+ * Two-cluster-size scaling evidence (BASELINE.md protocol): the same full
+ * validation job on the same input at local[N] and local[4N], alternating
+ * legs inside one JVM (shared JIT + page cache ⇒ comparable steady state),
+ * min-of-reps per leg. Prints one JSON line with both throughputs and the
+ * scaling efficiency  = thr(4N) / (4 × thr(N)).
+ */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "40000000").toLong
+    val small = sys.env.getOrElse("SPARK_GRAFT_N", "8").toInt
+    val big = small * 4
+    val docsPath = s"/tmp/graft_bench_docs_$nDocs"
+
+    def session(cores: Int): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(s"graft-scaling-$cores")
+        .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        // local-mode-only: shuffle through tmpfs so a single shared disk
+        // doesn't serialize what would be per-node I/O on a real cluster
+        .config("spark.local.dir",
+          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
+          else System.getProperty("java.io.tmpdir"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      s
+    }
+
+    // generate once
+    locally {
+      val s = session(big)
+      if (!new java.io.File(docsPath).exists())
+        fixtures.Fixtures.docs(s, nDocs, 32).write.mode("overwrite").parquet(docsPath)
+      s.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    }
+
+    val rules = Seq(BoundRule(Required("doc_id")), BoundRule(SpanOffsetsMonotonic()),
+      BoundRule(SpanFieldConsistency()), BoundRule(SpansNonEmpty()))
+
+    def leg(cores: Int): Double = {
+      val s = session(cores)
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(docsPath)
+      val assets = fixtures.Fixtures.assets(s)
+      val run = new engine.ValidationRun(s, engine.EngineConfig(rules))
+      val t0 = System.nanoTime()
+      // 1) structural rule suite: verdicts + violations
+      val (verdicts, viols) = run.run(docs, Some(assets))
+      viols.write.format("noop").mode("overwrite").save()
+      verdicts.write.format("noop").mode("overwrite").save()
+      viols.unpersist()
+      // 2) content rules over the interleaved text (full-suite analogue):
+      //    token stats, quality inputs, fingerprint, minhash + simhash
+      val text = concat_ws(" ",
+        expr("transform(filter(spans, s -> s.text IS NOT NULL), s -> s.text)"))
+      docs.select(col("doc_id"), col("part"),
+          graft.functions.F.tokenStats(text).as("ts"),
+          graft.functions.F.minhashSig(text, 8, 3, portable = false).as("mh"),
+          graft.functions.F.simhash(text, 32, portable = false).as("sh"))
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      s.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      sec
+    }
+
+    // alternate legs; first pair is warmup, then two measured pairs
+    val order = Seq(big, small, big, small, big, small, big, small)
+    val times = order.map(c => c -> leg(c))
+    def best(c: Int) = times.drop(2).filter(_._1 == c).map(_._2).min
+    val (tBig, tSmall) = (best(big), best(small))
+    val (thrBig, thrSmall) = (nDocs / tBig, nDocs / tSmall)
+    val eff = thrBig / (4.0 * thrSmall)
+    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","n_small":$small,"n_big":$big,"docs":$nDocs,"sec_small":$tSmall%.2f,"sec_big":$tBig%.2f,"docs_per_sec_small":$thrSmall%.0f,"docs_per_sec_big":$thrBig%.0f,"all_legs":"${times.map { case (c, t) => f"$c:$t%.1f" }.mkString(",")}"}""")
+  }
+}

@@ -172,19 +172,53 @@ object SparkEntry {
 
     // ------------------------------------------------------------- text ops
     "q13_text_stats" -> ((s, dir) => {
-      read(s, dir, "documents").select(
-        col("doc_id"),
-        Text.tokenCount(col("text")).as("n_tokens"),
-        Text.bpeTokenCount(col("text")).as("n_bpe_tokens"),
-        round(Text.punctRatio(col("text")), 4).as("punct_ratio"),
-        round(Text.stopwordRatio(col("text")), 4).as("stopword_ratio"))
+      // one-pass TokenStats custom expression (same semantics as the
+      // Text.* HOF formulations; pinned by the DuckDB oracle)
+      read(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.F.tokenStats(col("text")).as("ts"),
+          col("text"))
+        .select(
+          col("doc_id"),
+          col("ts.n_tokens").as("n_tokens"),
+          col("ts.n_bpe").as("n_bpe_tokens"),
+          round(when(col("ts.len") === 0, 0.0)
+            .otherwise(col("ts.n_punct").cast("double") / col("ts.len")), 4)
+            .as("punct_ratio"),
+          round(when(col("ts.n_tokens") === 0, 0.0)
+            .otherwise(col("ts.n_stop").cast("double") / col("ts.n_tokens")), 4)
+            .as("stopword_ratio"))
     }),
 
     "q14_lang_quality" -> ((s, dir) => {
+      // per-language stopword hits via one TokenStats pass per language
+      // (tight loops); quality recomposed from the shared stats struct with
+      // the exact same arithmetic as Text.qualityScore
+      val langScores = Text.Langs.map(l =>
+        graft.functions.F.tokenStats(col("text"), Text.Stopwords(l))
+          .getField("n_stop"))
+      val best = langScores.reduce((a, b) => greatest(a, b))
+      val langGuess = Text.Langs.zip(langScores)
+        .foldLeft(when(lit(false), lit("")): Column) {
+          case (acc, (l, sc)) => acc.when(sc === best && best > 0, lit(l))
+        }.otherwise(lit("und"))
+      val ts = graft.functions.F.tokenStats(col("text"))
+      val n = ts.getField("n_tokens").cast("double")
+      val len = ts.getField("len").cast("double")
+      val punctRatio = when(len === 0, 0.0)
+        .otherwise(ts.getField("n_punct").cast("double") / len)
+      val wsRatio = when(len === 0, 0.0)
+        .otherwise(ts.getField("n_ws").cast("double") / len)
+      val lenScore = least(n / 100.0, lit(1.0))
+      val punctOk = lit(1.0) - least(punctRatio * 4.0, lit(1.0))
+      val avgWordLen = when(n === 0, 0.0)
+        .otherwise((len - ts.getField("n_ws").cast("double")) / n)
+      val wordLenOk = when(avgWordLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+      val wsOk = lit(1.0) - least(wsRatio * 2.0, lit(1.0))
       read(s, dir, "documents").select(
         col("doc_id"),
-        Text.langId(col("text")).as("lang_guess"),
-        Text.qualityScore(col("text")).as("quality"))
+        langGuess.as("lang_guess"),
+        round(lenScore * 0.4 + punctOk * 0.2 + wordLenOk * 0.2 + wsOk * 0.2, 4)
+          .as("quality"))
     }),
 
     "q15_fingerprint" -> ((s, dir) => {
@@ -215,7 +249,7 @@ object SparkEntry {
     // MinHash LSH candidate pairs (rows-only: banding join not ANSI-friendly)
     "q17b_minhash_pairs" -> ((s, dir) => {
       Dedup.minhashCandidatePairs(read(s, dir, "documents"), "text", "doc_id",
-        k = 16, bands = 4, shingleK = 3)
+        k = 16, bands = 4, shingleK = 3, portable = false)
     }),
 
     // SimHash (16-bit portable variant for oracle tractability)
@@ -320,13 +354,17 @@ object SparkEntry {
       import s.implicits._
       val li = read(s, dir, "lineitem")
       val hll = graft.stats.Sketches.hllCountDistinct(12)
-      val r = li.agg(
+      // HLL udaf kept in its own agg: mixing with countDistinct forces the
+      // Expand-based multi-distinct plan, which drops the object-hash-agg
+      // fast path for the udaf buffer (measured 20x slower)
+      val est = li.agg(
         hll(xxhash64(col("l_partkey"))).as("est_parts"),
+        hll(xxhash64(col("l_orderkey"))).as("est_orders")).collect()(0)
+      val exact = li.agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
-        hll(xxhash64(col("l_orderkey"))).as("est_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders")).collect()(0)
-      Seq(("l_partkey", r.getLong(0), r.getLong(1)),
-          ("l_orderkey", r.getLong(2), r.getLong(3)))
+      Seq(("l_partkey", est.getLong(0), exact.getLong(0)),
+          ("l_orderkey", est.getLong(1), exact.getLong(1)))
         .toDF("column", "estimate", "exact")
         .withColumn("rel_err_pct",
           round(abs(col("estimate") - col("exact")) * 100.0 / col("exact"), 2))
@@ -353,6 +391,43 @@ object SparkEntry {
     "q32_media_metadata" -> ((s, dir) => {
       graft.multimodal.Media.extractMetadata(
         graft.multimodal.Media.syntheticAssets(s, 500))
+    }),
+
+    // C38/A24 — auto-generated cleaning rules from one stats pass (rows-only)
+    "q33_rule_generation" -> ((s, dir) => {
+      import s.implicits._
+      val gen = graft.clean.RuleGenerator.generate(
+        graft.fixtures.Fixtures.people(s))
+      gen.columns.map(c => (c.column, c.semanticType,
+          c.handleSemantic.getOrElse(""), c.handleMissing.getOrElse(""),
+          c.missingCount))
+        .toDF("column", "semantic_type", "handle_semantic", "handle_missing",
+          "missing_count")
+    }),
+
+    // A16-A21 — quality dimensions + weighted score (rows-only)
+    "q34_quality_dimensions" -> ((s, dir) => {
+      import s.implicits._
+      val ev = read(s, dir, "events")
+      val (dims, score) = graft.stats.Metrics.qualityReport(ev)
+      Seq((dims.completeness.completenessPct, dims.validity.castSuccessRatePct,
+        dims.uniqueness.duplicateRowPct, score))
+        .toDF("completeness_pct", "conformance_pct", "dup_row_pct", "score")
+        .select(round($"completeness_pct", 4).as("completeness_pct"),
+          round($"conformance_pct", 4).as("conformance_pct"),
+          round($"dup_row_pct", 4).as("dup_row_pct"),
+          round($"score", 2).as("score"))
+    }),
+
+    // A27 — keyed raw-vs-clean cell diff after the C37 dynamic-clean pass
+    "q35_cell_diff" -> ((s, dir) => {
+      import s.implicits._
+      val ev = read(s, dir, "events").withColumn("event_type",
+        when(col("event_id") % 7 === 0, concat(lit("  "), col("event_type")))
+          .otherwise(col("event_type")))
+      val cleaned = ev.withColumn("event_type", trim(col("event_type")))
+      graft.stats.Metrics.cellDiff(ev, cleaned, "event_id").toSeq.sorted
+        .toDF("column", "changed_cells")
     }))
 
   /** Engine-level queries over the generated fixture docs (rows-only checks:

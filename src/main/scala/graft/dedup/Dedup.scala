@@ -51,21 +51,18 @@ object Dedup {
   /** MinHash signature (k values) over word `shingleK`-shingles.
     * hash_i(s) = hash(s || '#' || i); signature[i] = min over shingles. */
   def minhashSignature(textCol: Column, k: Int = 16, shingleK: Int = 3,
-                       portable: Boolean = true): Column = {
-    val sh = Text.shingles(textCol, shingleK)
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(sh, s => h(concat(s, lit("#"), i.cast("string")), portable))))
-  }
+                       portable: Boolean = true): Column =
+    graft.functions.F.minhashSig(textCol, k, shingleK, portable)
 
   /** LSH band keys: the signature split into `bands` bands of `k/bands` rows,
     * each band hashed to one key. Docs sharing any band key are candidates. */
-  def lshBandKeys(sig: Column, bands: Int): Column =
+  def lshBandKeys(sig: Column, bands: Int, portable: Boolean = true): Column =
     transform(sequence(lit(0), lit(bands - 1)), b => {
       val bandSize = size(sig) / bands
       val bandVals = slice(sig, b * bandSize + 1, bandSize)
+      val joined = concat_ws(",", transform(bandVals, v => v.cast("string")))
       struct(b.as("band"),
-        Text.portableHash(concat_ws(",", transform(bandVals, v => v.cast("string"))))
-          .as("key"))
+        (if (portable) Text.portableHash(joined) else Text.fastHash(joined)).as("key"))
     })
 
   /** Candidate near-dup pairs via MinHash LSH: explode band keys, self-join
@@ -76,7 +73,7 @@ object Dedup {
                             portable: Boolean = true): DataFrame = {
     val withBands = df.select(col(idCol).as("id"),
         minhashSignature(col(textCol), k, shingleK, portable).as("sig"))
-      .select(col("id"), explode(lshBandKeys(col("sig"), bands)).as("b"))
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, portable)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
     val a = withBands.alias("a")
     val b = withBands.alias("b")
@@ -94,16 +91,8 @@ object Dedup {
 
   /** SimHash over word tokens, `bits` wide (≤ 32 portable / ≤ 63 fast):
     * bit b is set iff Σ_tokens (bit b of hash(token) ? +1 : −1) > 0. */
-  def simhash(textCol: Column, bits: Int = 32, portable: Boolean = true): Column = {
-    val toks = Text.tokens(Text.normalize(textCol))
-    val hashes = transform(toks, t => h(t, portable))
-    val bitCols: Seq[Column] = (0 until bits).map { b =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, x) => acc + when(shiftright(x, b) % 2 =!= 0, 1).otherwise(-1))
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def simhash(textCol: Column, bits: Int = 32, portable: Boolean = true): Column =
+    graft.functions.F.simhash(textCol, bits, portable)
 
   /** Hamming distance between two simhash values (popcount via bit_count). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -133,11 +122,13 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 3, minJaccard: Double = 0.5,
                         portable: Boolean = true): DataFrame = {
+    // one-pass custom expressions: distinct shingle set + min-hash block key
+    // (single-band MinHash LSH: P(shared block) ≈ Jaccard, so true near-dups
+    // almost always collide while unrelated docs rarely do)
     val withSh = df.select(col(idCol).as("id"),
-      array_distinct(Text.shingles(col(textCol), shingleK)).as("sh"),
-      // block key: hash of the lexicographically-smallest shingle — cheap
-      // blocking that guarantees any pair sharing their min shingle collides
-      h(array_min(Text.shingles(col(textCol), shingleK)), portable).as("block"))
+      graft.functions.F.wordShingles(col(textCol), shingleK, distinct = true).as("sh"),
+      element_at(graft.functions.F.minhashSig(col(textCol), 1, shingleK, portable), 1)
+        .as("block"))
     val a = withSh.alias("a"); val b = withSh.alias("b")
     a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -153,12 +144,16 @@ object Dedup {
     * inside buckets. */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         minCos: Double = 0.95, planes: Int = 8): DataFrame = {
+    import graft.sim.Similarity
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      graft.sim.Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+      sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("nrm"),
+      Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"))
     val a = bucketed.alias("a"); val b = bucketed.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        graft.sim.Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
+        when(col("a.nrm") * col("b.nrm") === 0.0, lit(0.0))
+          .otherwise(Similarity.dot(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
       .where(col("cos") >= minCos)
   }
 }

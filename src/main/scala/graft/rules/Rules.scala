@@ -99,21 +99,24 @@ object Rules {
       coalesce(col(c).cast("string").try_cast(TimestampType) > lit(runTs), lit(false))
 
     // ---- span-level rules over spans: array<struct<kind,text,media_ref,offset>> ----
-    // offsets strictly increasing: any adjacent pair with next <= prev violates
+    // Evaluated from the shared one-pass SpanChecks helper column (custom
+    // Catalyst expression, attached by ValidationEngine.withHelperColumns) —
+    // a single tight loop per row instead of three interpreted HOF trees.
     case SpanOffsetsMonotonic(c) =>
-      when(col(c).isNull || size(col(c)) <= 1, lit(false)).otherwise(
-        exists(
-          zip_with(
-            slice(col(c), lit(1), greatest(size(col(c)) - 1, lit(1))),
-            slice(col(c), lit(2), greatest(size(col(c)) - 1, lit(1))),
-            (a, b) => b.getField("offset") <= a.getField("offset")),
-          x => x))
-    // text spans carry text & no media_ref; media spans carry media_ref & no text
+      col(spanHelper(c)).getField("mono_bad_offset").isNotNull
     case SpanFieldConsistency(c) =>
-      coalesce(exists(col(c), s => spanInconsistent(s)), lit(false))
+      col(spanHelper(c)).getField("field_bad_offset").isNotNull
     case SpansNonEmpty(c) =>
-      col(c).isNull || size(col(c)) === 0
+      col(spanHelper(c)).getField("is_empty")
   }
+
+  /** Name of the shared span-checks helper column for a spans column. */
+  def spanHelper(c: String): String = s"__spanchk_$c"
+
+  /** Attach the one-pass span-checks struct (idempotent). */
+  def attachSpanChecks(df: DataFrame, c: String): DataFrame =
+    if (df.columns.contains(spanHelper(c))) df
+    else df.withColumn(spanHelper(c), graft.functions.F.spanChecks(col(c)))
 
   /** Per-span field-consistency predicate (true = span is inconsistent). */
   def spanInconsistent(s: Column): Column = {

@@ -46,6 +46,12 @@ object ValidationEngine {
     * get picked up by AQE; `isin`-style membership without collect()). */
   def withHelperColumns(df: DataFrame, rules: Seq[BoundRule]): DataFrame = {
     var out = df
+    val spanCols = rules.collect {
+      case BoundRule(SpanOffsetsMonotonic(c), _) => c
+      case BoundRule(SpanFieldConsistency(c), _) => c
+      case BoundRule(SpansNonEmpty(c), _) => c
+    }.distinct
+    spanCols.foreach { c => out = Rules.attachSpanChecks(out, c) }
     val uniqueCols = rules.collect { case BoundRule(Unique(c), _) => c }.distinct
     uniqueCols.foreach { c => out = Rules.attachDupCount(out, c) }
     val inCols = rules.collect { case BoundRule(InColumn(c, o), _) => (c, o) }.distinct
@@ -127,15 +133,13 @@ object ValidationEngine {
               col("v.span_offset").as("span_offset"), col("v.detail").as("detail"))
   }
 
-  /** Offset of the first offending span for span-level rules; null otherwise. */
+  /** Offset of the first offending span for span-level rules; null otherwise
+    * (read from the shared SpanChecks helper struct). */
   private def offendingOffset(spec: RuleSpec): Column = spec match {
     case SpanOffsetsMonotonic(c) =>
-      val n = greatest(size(col(c)) - 1, lit(1))
-      val bad = zip_with(slice(col(c), lit(1), n), slice(col(c), lit(2), n),
-        (a, b) => when(b.getField("offset") <= a.getField("offset"), b.getField("offset")))
-      try_element_at(filter(bad, x => x.isNotNull), lit(1))
+      col(Rules.spanHelper(c)).getField("mono_bad_offset")
     case SpanFieldConsistency(c) =>
-      try_element_at(filter(col(c), s => Rules.spanInconsistent(s)), lit(1)).getField("offset")
+      col(Rules.spanHelper(c)).getField("field_bad_offset")
     case _ => lit(null).cast("int")
   }
 }

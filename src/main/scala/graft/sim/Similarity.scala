@@ -25,9 +25,7 @@ object Similarity {
 
   /** Σ aᵢ·bᵢ via zip_with + aggregate (double accumulation, in array order —
     * reproducible across engines that accumulate sequentially). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.functions.F.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -61,10 +59,17 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, qIdCol: String,
                      qVecCol: String, k: Int): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
-      .where(col(idCol) =!= col(qIdCol))
-      .select(col(qIdCol).as("query_id"), col(idCol).as("neighbor_id"),
-        cosine(col(qVecCol), col(vecCol)).as("cos"))
+    // norms computed per side BEFORE the join: |C|+|Q| norm evaluations
+    // instead of |C|·|Q|; pair cost is a single primitive-loop dot product
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("cn"))
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
+      sqrt(dot(col(qVecCol), col(qVecCol))).as("qn"))
+    val joined = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("qn") * col("cn") === 0.0, lit(0.0))
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     joined.withColumn("rank", row_number().over(w))
@@ -77,12 +82,16 @@ object Similarity {
               idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
               k: Int, planes: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("cn"),
       hyperplaneBucket(col(vecCol), planes).as("bucket"))
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
+      sqrt(dot(col(qVecCol), col(qVecCol))).as("qn"),
       hyperplaneBucket(col(qVecCol), planes).as("bucket"))
     val joined = c.join(q, "bucket")
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("qn") * col("cn") === 0.0, lit(0.0))
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     joined.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
