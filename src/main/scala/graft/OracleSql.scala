@@ -80,6 +80,37 @@ object OracleSql {
     s"(CASE WHEN $nQ * $nC = 0.0 THEN 0.0 ELSE $dotQN / ($nQ * $nC) END)"
   }
 
+  // -------------------------------------------------------- fixture oracles
+  /** Absolute read_parquet() path for a materialized fixture (written by the
+    * query side via [[graft.fixtures.Fixtures.peoplePq]]/`docsPq` BEFORE the
+    * driver runs the oracle, so DuckDB reads the identical rows). */
+  private def fx(name: String) =
+    s"read_parquet('${graft.fixtures.Fixtures.fixturePath(name)}/*.parquet')"
+
+  /** coerceNumeric (Cleaners.coerceNumeric): strip non-numeric chars, drop
+    * thousands commas, try-cast; empty → null. */
+  private def coerceNum(e: String) =
+    s"TRY_CAST(nullif(trim(regexp_replace(regexp_replace(CAST($e AS VARCHAR), '[^0-9.\\-+eE,]', '', 'g'), ',', '', 'g')), '') AS DOUBLE)"
+
+  /** parseDateMulti (Cleaners.DateFormats order). */
+  private def parseDate(e: String) = Seq(
+    "%Y-%m-%d", "%d-%m-%Y", "%m/%d/%Y", "%d/%m/%Y", "%Y/%m/%d",
+    "%Y-%m-%d %H:%M:%S", "%d-%m-%Y %H:%M:%S")
+    .map(f => s"try_strptime(CAST($e AS VARCHAR), '$f')")
+    .mkString("coalesce(", ", ", ")")
+
+  /** parseDateOrSerial: Excel serial (epoch 1899-12-30, window 10000-100000)
+    * takes precedence, then the multi-format parse. Returns a DATE expr. */
+  private def parseDateOrSerial(e: String) =
+    s"""(CASE WHEN TRY_CAST($e AS DOUBLE) BETWEEN 10000 AND 100000
+       | THEN DATE '1899-12-30' + CAST(TRY_CAST($e AS DOUBLE) AS INT)
+       | ELSE CAST(${parseDate(e)} AS DATE) END)""".stripMargin.replace("\n", " ")
+
+  /** Spark initcap for the single-word values in the people fixture
+    * (ucfirst; the fixture has no multi-word strings in cleaned columns). */
+  private def ucfirst(e: String) =
+    s"(upper(substring($e, 1, 1)) || lower(substring($e, 2)))"
+
   // ------------------------------------------------------------------- map
   val all: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -253,6 +284,195 @@ object OracleSql {
         | CASE WHEN lower(trim(CASE WHEN value > 100 THEN 'yes' ELSE 'OFF' END)) IN ('true','yes','y','1','t','on','enabled') THEN TRUE
         |      WHEN lower(trim(CASE WHEN value > 100 THEN 'yes' ELSE 'OFF' END)) IN ('false','no','n','0','f','off','disabled') THEN FALSE
         |      ELSE NULL END AS flag
-        |FROM events""".stripMargin
-  )
+        |FROM events""".stripMargin,
+
+    // A16-A21 over events (6 columns; string cols event_type/props are never
+    // all-null in the testdata, so the conformance/len-std averages simplify
+    // to a plain 2-col mean — matching Metrics.validityAndConsistency)
+    "q34_quality_dimensions" ->
+      """WITH s AS (SELECT
+        |  CAST(count(*) AS DOUBLE) AS nrows,
+        |  CAST(sum(CAST(event_id IS NULL AS INT) + CAST(ts IS NULL AS INT) + CAST(user_id IS NULL AS INT)
+        |         + CAST(event_type IS NULL AS INT) + CAST(value IS NULL AS INT) + CAST(props IS NULL AS INT)) AS DOUBLE) AS missing,
+        |  sum(CASE WHEN isinf(value) THEN 1 ELSE 0 END) AS inf,
+        |  sum(CASE WHEN event_type = '' THEN 1 ELSE 0 END) + sum(CASE WHEN props = '' THEN 1 ELSE 0 END) AS empties,
+        |  CAST(sum(CASE WHEN TRY_CAST(event_type AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS cast_et,
+        |  CAST(sum(CASE WHEN event_type IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nn_et,
+        |  CAST(sum(CASE WHEN TRY_CAST(props AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS cast_pr,
+        |  CAST(sum(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nn_pr,
+        |  stddev_samp(CAST(length(event_type) AS DOUBLE)) AS std_et,
+        |  stddev_samp(CAST(length(props) AS DOUBLE)) AS std_pr
+        | FROM events),
+        |d AS (SELECT CAST(coalesce(sum(cnt - 1), 0) AS DOUBLE) AS dups
+        |      FROM (SELECT count(*) AS cnt FROM events GROUP BY event_id, ts, user_id, event_type, value, props)),
+        |m AS (SELECT
+        |  (nrows * 6 - missing) * 100.0 / (nrows * 6) AS comp,
+        |  (greatest(cast_et / nn_et, 1 - cast_et / nn_et) + greatest(cast_pr / nn_pr, 1 - cast_pr / nn_pr)) / 2 * 100.0 AS conf,
+        |  (inf + empties) * 0.01 AS pen,
+        |  (std_et + std_pr) / 2 AS lenstd,
+        |  dups * 100.0 / nrows AS dup_pct
+        | FROM s, d)
+        |SELECT round(comp, 4) AS completeness_pct, round(conf, 4) AS conformance_pct,
+        | round(dup_pct, 4) AS dup_row_pct,
+        | round(round((comp * 0.30 + greatest(0, 100 - pen) * (conf / 100.0) * 0.25
+        |   + greatest(0, 100 - lenstd) * 0.20 + greatest(0, 100 - dup_pct) * 0.15) * 100) / 100.0, 2) AS score
+        |FROM m""".stripMargin
+  ) ++ fixtureOracles ++ mediaOracles
+
+  // ---------------------------------------------------- semantic / engine
+  /** Oracles that re-derive fixture-query semantics in pure SQL over the
+    * materialized fixture parquet (people / docs) — fully independent
+    * re-implementations of the Spark plans, not golden pins. */
+  private def fixtureOracles: Map[String, String] = {
+    val people = fx("people")
+    val docs = fx("docs_20000_8")
+
+    // --- q28: per-rule issue counts (SemanticValidators.validate over people)
+    val nameMask =
+      "Name IS NOT NULL AND len(string_split_regex(trim(CAST(Name AS VARCHAR)), '\\s+')) < 2"
+    val ageNum = coerceNum("Age")
+    val ageMask = s"($ageNum < 0 OR $ageNum > 120)"
+    val phoneMask =
+      "Phone IS NOT NULL AND NOT regexp_matches(regexp_replace(CAST(Phone AS VARCHAR), '\\D', '', 'g'), '^\\d{10}$')"
+    val emailMask =
+      "Email IS NOT NULL AND NOT regexp_matches(lower(CAST(Email AS VARCHAR)), '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}$')"
+    val locTitle =
+      s"(Location IS NOT NULL AND trim(CAST(Location AS VARCHAR)) = ${ucfirst("trim(CAST(Location AS VARCHAR))")})"
+    val genderMask =
+      "Gender IS NOT NULL AND lower(CAST(Gender AS VARCHAR)) NOT IN ('male','female','other','m','f','o','unknown')"
+    val dobParsed = parseDate("DOB")
+    val crossDobMask =
+      s"($dobParsed IS NOT NULL AND $ageNum IS NOT NULL AND " +
+      s"abs(date_diff('day', CAST($dobParsed AS DATE), DATE '2026-01-01') / 365.25 - $ageNum) > 2)"
+    val dobFutureMask = s"($dobParsed > TIMESTAMP '2026-01-01 00:00:00')"
+
+    val q28 =
+      s"""SELECT * FROM (
+         | SELECT 'Name' AS "column", 'NAME_format' AS rule_id, 'WARNING' AS severity,
+         |   CAST(sum(CASE WHEN $nameMask THEN 1 ELSE 0 END) AS BIGINT) AS rows_affected FROM $people HAVING sum(CASE WHEN $nameMask THEN 1 ELSE 0 END) > 0
+         | UNION ALL SELECT 'Phone', 'PHONE_format', 'ERROR',
+         |   CAST(sum(CASE WHEN $phoneMask THEN 1 ELSE 0 END) AS BIGINT) FROM $people HAVING sum(CASE WHEN $phoneMask THEN 1 ELSE 0 END) > 0
+         | UNION ALL SELECT 'Email', 'EMAIL_format', 'ERROR',
+         |   CAST(sum(CASE WHEN $emailMask THEN 1 ELSE 0 END) AS BIGINT) FROM $people HAVING sum(CASE WHEN $emailMask THEN 1 ELSE 0 END) > 0
+         | UNION ALL SELECT 'DOB', 'DOB_range', 'ERROR',
+         |   CAST(sum(CASE WHEN $dobFutureMask THEN 1 ELSE 0 END) AS BIGINT) FROM $people HAVING sum(CASE WHEN $dobFutureMask THEN 1 ELSE 0 END) > 0
+         | UNION ALL SELECT 'Age', 'AGE_range', 'ERROR',
+         |   CAST(sum(CASE WHEN $ageMask THEN 1 ELSE 0 END) AS BIGINT) FROM $people HAVING sum(CASE WHEN $ageMask THEN 1 ELSE 0 END) > 0
+         | UNION ALL SELECT 'Gender', 'GENDER_standard', 'WARNING',
+         |   CAST(sum(CASE WHEN $genderMask THEN 1 ELSE 0 END) AS BIGINT) FROM $people HAVING sum(CASE WHEN $genderMask THEN 1 ELSE 0 END) > 0
+         | UNION ALL SELECT 'Location', 'LOCATION_style', 'INFO',
+         |   CAST(round(sum(CASE WHEN Location IS NOT NULL THEN 1 ELSE 0 END) * (1.0 - avg(CASE WHEN $locTitle THEN 1.0 ELSE 0.0 END))) AS BIGINT)
+         |   FROM $people HAVING avg(CASE WHEN $locTitle THEN 1.0 ELSE 0.0 END) > 0.1 AND avg(CASE WHEN $locTitle THEN 1.0 ELSE 0.0 END) < 0.9
+         | UNION ALL SELECT 'DOB <> Age', 'CROSS_DOB_AGE_MISMATCH', 'WARNING',
+         |   CAST(sum(CASE WHEN $crossDobMask THEN 1 ELSE 0 END) AS BIGINT) FROM $people HAVING sum(CASE WHEN $crossDobMask THEN 1 ELSE 0 END) > 0
+         |)""".stripMargin
+
+    // --- q29: semantic cleaners (C27-C36) over people
+    val dos = parseDateOrSerial("DOB")
+    val cleanName =
+      s"""(CASE WHEN Name IS NULL THEN NULL
+         | ELSE nullif(regexp_replace(${ucfirst("trim(CAST(Name AS VARCHAR))")}, '[^\\w\\s\\-'']', '', 'g'), '') END)"""
+        .stripMargin.replace("\n", " ")
+    val q29 =
+      s"""SELECT $cleanName AS "Name",
+         | strftime($dos, '%Y-%m-%d') AS "DOB",
+         | TRY_CAST(CAST(Age AS VARCHAR) AS DOUBLE) AS "Age",
+         | (CASE WHEN Phone IS NULL THEN NULL
+         |   WHEN length(regexp_replace(CAST(Phone AS VARCHAR), '\\D', '', 'g')) = 10
+         |     THEN '+91-' || regexp_replace(CAST(Phone AS VARCHAR), '\\D', '', 'g')
+         |   ELSE nullif(regexp_replace(CAST(Phone AS VARCHAR), '\\D', '', 'g'), '') END) AS "Phone",
+         | (CASE WHEN Email IS NULL THEN NULL ELSE nullif(lower(trim(CAST(Email AS VARCHAR))), '') END) AS "Email",
+         | ${ucfirst("trim(CAST(Location AS VARCHAR))")} AS "Location",
+         | (CASE WHEN lower(trim(CAST(Gender AS VARCHAR))) IN ('m','male','man') THEN 'Male'
+         |   WHEN lower(trim(CAST(Gender AS VARCHAR))) IN ('f','female','woman') THEN 'Female'
+         |   WHEN lower(trim(CAST(Gender AS VARCHAR))) IN ('o','other') THEN 'Other'
+         |   ELSE 'Unknown' END) AS "Gender"
+         |FROM $people""".stripMargin
+
+    // --- q30/q31: full engine semantics over the materialized docs fixture.
+    // Violation flags mirror Rules.failureMask + UniquenessCheck + RI exactly.
+    val docFlags =
+      s"""SELECT part, doc_id,
+         | coalesce(doc_id IS NULL OR trim(doc_id) = '', TRUE) AS v_req,
+         | coalesce(spans IS NULL OR len(spans) = 0, TRUE) AS v_empty,
+         | coalesce(len(list_filter(range(2, len(spans)+1), i -> spans[i].offset <= spans[i-1].offset)) > 0, FALSE) AS v_mono,
+         | coalesce(len(list_filter(spans, s -> CASE WHEN s.kind = 'text' THEN (s.text IS NULL OR s.media_ref IS NOT NULL) ELSE (s.media_ref IS NULL OR s.text IS NOT NULL) END)) > 0, FALSE) AS v_field,
+         | coalesce(len(list_filter(spans, s -> s.media_ref IS NOT NULL AND TRY_CAST(substring(s.media_ref, 7) AS BIGINT) >= 1000)), 0) AS n_dangling
+         |FROM $docs""".stripMargin
+    val dupKeys =
+      s"SELECT doc_id FROM $docs WHERE doc_id IS NOT NULL GROUP BY 1 HAVING count(*) > 1"
+
+    val q30 =
+      s"""WITH d AS ($docFlags), u AS ($dupKeys),
+         |f AS (SELECT part, coalesce(doc_id, chr(1)) AS k,
+         |  (v_req OR v_empty OR v_mono OR v_field OR n_dangling > 0
+         |   OR (doc_id IS NOT NULL AND doc_id IN (SELECT doc_id FROM u))) AS anyv FROM d),
+         |g AS (SELECT part, k, anyv, max(anyv) OVER (PARTITION BY part, k) AS gv FROM f)
+         |SELECT CAST(part AS INT) AS part, CAST(count(*) AS BIGINT) AS total_rows,
+         | CAST(count(*) - sum(CASE WHEN gv THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+         | CAST(sum(CASE WHEN gv THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+         | CASE WHEN sum(CASE WHEN gv THEN 1 ELSE 0 END) > 0 THEN 'FAIL' ELSE 'PASS' END AS status,
+         | CAST(6 AS INT) AS rules_evaluated
+         |FROM g GROUP BY part""".stripMargin
+
+    val q31 =
+      s"""WITH d AS ($docFlags), u AS ($dupKeys)
+         |SELECT * FROM (
+         | SELECT 'required(doc_id)' AS rule_id, CAST(sum(CASE WHEN v_req THEN 1 ELSE 0 END) AS BIGINT) AS n FROM d
+         | UNION ALL SELECT 'spans_non_empty', CAST(sum(CASE WHEN v_empty THEN 1 ELSE 0 END) AS BIGINT) FROM d
+         | UNION ALL SELECT 'span_offsets_monotonic', CAST(sum(CASE WHEN v_mono THEN 1 ELSE 0 END) AS BIGINT) FROM d
+         | UNION ALL SELECT 'span_field_consistency', CAST(sum(CASE WHEN v_field THEN 1 ELSE 0 END) AS BIGINT) FROM d
+         | UNION ALL SELECT 'referential_integrity(media_ref)', CAST(sum(n_dangling) AS BIGINT) FROM d
+         | UNION ALL SELECT 'unique(doc_id)', CAST(count(*) AS BIGINT) FROM d WHERE doc_id IN (SELECT doc_id FROM u)
+         |) WHERE n > 0""".stripMargin
+
+    // --- q33: RuleGenerator bindings over people (keyword semantics + SQL
+    // null counts; handle_missing re-derives the planner's decision ladder)
+    def q33Line(c: String, semType: String, handleSem: String) = {
+      val hm =
+        if (handleSem.nonEmpty) "''"
+        else s"(CASE WHEN sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) > 0 THEN 'fill_with_mode' ELSE 'do_nothing' END)"
+      s"""SELECT '$c' AS "column", '$semType' AS semantic_type, '$handleSem' AS handle_semantic,
+         | $hm AS handle_missing,
+         | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_count FROM $people"""
+        .stripMargin.replace("\n", " ")
+    }
+    val q33 = Seq(
+      q33Line("Name", "GENERAL", ""),
+      q33Line("DOB", "DOB", "normalize_date"),
+      q33Line("Age", "AGE", "calculate_age_from_dob"),
+      q33Line("Phone", "PHONE", "validate_phone"),
+      q33Line("Email", "EMAIL", "validate_email"),
+      q33Line("Location", "GENERAL", ""),
+      q33Line("Gender", "GENERAL", "")).mkString(" UNION ALL ")
+
+    Map("q28_semantic_issues" -> q28, "q29_semantic_clean" -> q29,
+        "q30_engine_verdicts" -> q30, "q31_engine_violations" -> q31,
+        "q33_rule_generation" -> q33)
+  }
+
+  // ------------------------------------------------------------- multimodal
+  /** q32: the synthetic asset payload is md5-derived, so DuckDB can rebuild
+    * the full payload hex and every portable metadata column from the id. */
+  private def mediaOracles: Map[String, String] = {
+    val fs = (0 until 8).map { i =>
+      s"CAST(CAST(('0x' || substring(md5(substring(hx, ${i * 8 + 1}, 16)), 1, 15)) AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0 AS f$i"
+    }.mkString(",\n | ")
+    Map("q32_media_metadata" ->
+      s"""WITH a AS (SELECT id,
+         |  (CASE CAST(id % 3 AS INT) WHEN 0 THEN 'ffd8ff00' WHEN 1 THEN '89504e47' ELSE '49443303' END)
+         |   || md5(CAST(id AS VARCHAR)) || md5(CAST(id + 1 AS VARCHAR)) AS hx
+         | FROM range(0, 500) t(id))
+         |SELECT 'asset-' || CAST(id AS VARCHAR) AS asset_id,
+         | CASE WHEN upper(hx) LIKE 'FFD8FF%' THEN 'jpeg'
+         |      WHEN upper(hx) LIKE '89504E47%' THEN 'png'
+         |      WHEN upper(hx) LIKE '47494638%' THEN 'gif'
+         |      WHEN upper(hx) LIKE '49443303%' OR upper(hx) LIKE 'FFFB%' THEN 'mp3'
+         |      WHEN upper(hx) LIKE '00000018%' OR upper(hx) LIKE '00000020%' THEN 'mp4'
+         |      ELSE 'unknown' END AS sniffed_format,
+         | CAST(length(hx) / 2 AS BIGINT) AS n_bytes,
+         | CAST(('0x' || substring(md5(hx), 1, 15)) AS BIGINT) AS checksum,
+         | $fs
+         |FROM a""".stripMargin)
+  }
 }

@@ -370,10 +370,11 @@ object SparkEntry {
           round(abs(col("estimate") - col("exact")) * 100.0 / col("exact"), 2))
     }),
 
-    // V1-V11 + C27-C36 over the reference's semantic fixture (rows-only)
+    // V1-V11 + C27-C36 over the reference's semantic fixture (materialized to
+    // parquet so the DuckDB oracle reads the identical rows)
     "q28_semantic_issues" -> ((s, dir) => {
       import s.implicits._
-      val people = graft.fixtures.Fixtures.people(s)
+      val people = graft.fixtures.Fixtures.peoplePq(s)
       val tm = graft.semantic.Detector.detectTypes(people)
       val issues = graft.semantic.SemanticValidators.validate(people, tm,
         java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
@@ -382,22 +383,24 @@ object SparkEntry {
     }),
     "q29_semantic_clean" -> ((s, dir) => {
       val res = graft.semantic.SemanticPipeline.process(
-        graft.fixtures.Fixtures.people(s),
+        graft.fixtures.Fixtures.peoplePq(s),
         java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
       res.cleaned
     }),
 
-    // multimodal plumbing: magic-byte sniff + checksum + stub decode (rows-only)
+    // multimodal plumbing: magic-byte sniff + checksum + stub decode. The
+    // portable variant emits scalar columns only (checksum + f0..f7 via
+    // md5-60) so the output is sortable/hashable and DuckDB-reproducible.
     "q32_media_metadata" -> ((s, dir) => {
-      graft.multimodal.Media.extractMetadata(
+      graft.multimodal.Media.extractMetadataPortable(
         graft.multimodal.Media.syntheticAssets(s, 500))
     }),
 
-    // C38/A24 — auto-generated cleaning rules from one stats pass (rows-only)
+    // C38/A24 — auto-generated cleaning rules from one stats pass
     "q33_rule_generation" -> ((s, dir) => {
       import s.implicits._
       val gen = graft.clean.RuleGenerator.generate(
-        graft.fixtures.Fixtures.people(s))
+        graft.fixtures.Fixtures.peoplePq(s))
       gen.columns.map(c => (c.column, c.semanticType,
           c.handleSemantic.getOrElse(""), c.handleMissing.getOrElse(""),
           c.missingCount))
@@ -430,24 +433,25 @@ object SparkEntry {
         .toDF("column", "changed_cells")
     }))
 
-  /** Engine-level queries over the generated fixture docs (rows-only checks:
-    * the docs table shape isn't part of the external testdata). */
+  /** Engine-level queries over the generated fixture docs, materialized to
+    * parquet once (shared by q30/q31 and read by the DuckDB oracle, which
+    * re-derives every rule's semantics in SQL over the same file). */
+  private val engineFixtureRules = Seq(
+    BoundRule(Required("doc_id")), BoundRule(SpanOffsetsMonotonic()),
+    BoundRule(SpanFieldConsistency()), BoundRule(SpansNonEmpty()))
+
   private def engineQueries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     "q30_engine_verdicts" -> ((s, dir) => {
-      val docs = graft.fixtures.Fixtures.docs(s, 20000, 8)
+      val docs = graft.fixtures.Fixtures.docsPq(s, 20000, 8)
       val assets = graft.fixtures.Fixtures.assets(s)
-      val cfg = graft.engine.EngineConfig(rules = Seq(
-        BoundRule(Required("doc_id")), BoundRule(SpanOffsetsMonotonic()),
-        BoundRule(SpanFieldConsistency()), BoundRule(SpansNonEmpty())))
+      val cfg = graft.engine.EngineConfig(rules = engineFixtureRules)
       val (verdicts, _) = new graft.engine.ValidationRun(s, cfg).run(docs, Some(assets))
       verdicts
     }),
     "q31_engine_violations" -> ((s, dir) => {
-      val docs = graft.fixtures.Fixtures.docs(s, 20000, 8)
+      val docs = graft.fixtures.Fixtures.docsPq(s, 20000, 8)
       val assets = graft.fixtures.Fixtures.assets(s)
-      val cfg = graft.engine.EngineConfig(rules = Seq(
-        BoundRule(Required("doc_id")), BoundRule(SpanOffsetsMonotonic()),
-        BoundRule(SpanFieldConsistency()), BoundRule(SpansNonEmpty())))
+      val cfg = graft.engine.EngineConfig(rules = engineFixtureRules)
       val (_, viols) = new graft.engine.ValidationRun(s, cfg).run(docs, Some(assets))
       viols.groupBy("rule_id").agg(count(lit(1)).as("n"))
     })

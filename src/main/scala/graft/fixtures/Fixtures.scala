@@ -21,6 +21,34 @@ import graft.core.{Asset, Doc, Span}
  */
 object Fixtures {
 
+  // ----------------------------------------------------- materialized parquet
+  /** Stable on-disk copies of the fixtures, so the driver's DuckDB oracle can
+    * `read_parquet()` the EXACT rows the Spark queries consumed (and so the
+    * engine queries read real files instead of re-generating per run). Bump
+    * [[FixtureVersion]] whenever a generator changes. */
+  val FixtureDir = "/root/repo/target/fixtures"
+  val FixtureVersion = "v2"
+
+  def fixturePath(name: String): String =
+    s"$FixtureDir/${name}_$FixtureVersion.parquet"
+
+  private def materialize(spark: SparkSession, name: String,
+                          gen: => DataFrame): DataFrame = synchronized {
+    val path = fixturePath(name)
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      gen.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** [[people]] read back from its materialized parquet. */
+  def peoplePq(spark: SparkSession): DataFrame =
+    materialize(spark, "people", people(spark))
+
+  /** [[docs]] read back from its materialized parquet (one write per
+    * (nDocs, nParts) shape, reused by q30/q31/bench and the DuckDB oracle). */
+  def docsPq(spark: SparkSession, nDocs: Long, nParts: Int = 8): DataFrame =
+    materialize(spark, s"docs_${nDocs}_$nParts", docs(spark, nDocs, nParts))
+
   // ---------------------------------------------------------------- golden F1
   /** 12 hand-authored docs, partitioned 0/1. Violations by design:
     *  d00 clean | d01 clean multi-span | d02 dup of d03 (doc_id "dup-1") |

@@ -44,6 +44,10 @@ object Media {
   /** Cheap pure-expression features: size, checksum, entropy proxy. */
   def byteLength(bin: Column): Column = length(bin).cast("long")
   def checksum(bin: Column): Column = xxhash64(bin)
+  /** Portable checksum (md5-60 of the lowercase hex of the payload) — identical
+    * in any engine with md5; used by oracle-checked outputs. */
+  def portableChecksum(bin: Column): Column =
+    graft.text.Text.portableHash(lower(hex(bin)))
   /** Deterministic byte-range sample by column name (the video frame-sampling
     * analogue: `n` evenly spaced `window`-byte slices as an array). */
   def sampleBytesExpr(binCol: String, n: Int = 4, window: Int = 16): Column = {
@@ -67,6 +71,19 @@ object Media {
       s"(pmod(xxhash64(substr($binCol, ${i * 7 + 1}, 16)), 1000000) / 1000000.0)"
     }
     expr(s"array(${parts.mkString(", ")})")
+  }
+
+  /** Portable twin of [[decodeStub]]: each fake feature is derived from the
+    * md5-60 of a 16-hex-char window of the payload's lowercase hex — exactly
+    * reproducible in any SQL engine (DuckDB oracle pins it). Emitted as
+    * individual scalar columns f0..f(dims-1) so downstream harnesses can
+    * sort/hash the output (array columns are not scalar-sortable). */
+  def decodeStubPortableCols(bin: Column, dims: Int = 8): Seq[Column] = {
+    val hx = lower(hex(bin))
+    (0 until dims).map { i =>
+      (pmod(graft.text.Text.portableHash(substring(hx, i * 8 + 1, 16)),
+        lit(1000000L)).cast("double") / 1000000.0).as(s"f$i")
+    }
   }
 
   /** Synthesize a deterministic fake asset-payload table for tests/bench:
@@ -93,4 +110,15 @@ object Media {
       byteLength(col(binCol)).as("n_bytes"),
       checksum(col(binCol)).as("checksum"),
       decodeStub(binCol).as("features"))
+
+  /** Oracle-checkable metadata extraction: same shape as [[extractMetadata]]
+    * but with the portable checksum and the stub features flattened into
+    * scalar f0..f7 columns (md5-based; DuckDB reproduces every value). */
+  def extractMetadataPortable(assets: DataFrame, binCol: String = "payload"): DataFrame =
+    assets.select(Seq(
+      col("asset_id"),
+      sniffFormat(col(binCol)).as("sniffed_format"),
+      byteLength(col(binCol)).as("n_bytes"),
+      portableChecksum(col(binCol)).as("checksum")) ++
+      decodeStubPortableCols(col(binCol)): _*)
 }

@@ -84,12 +84,18 @@ object Metrics {
      Consistency(if (lenStds.isEmpty) 0.0 else lenStds.sum / lenStds.length))
   }
 
-  /** A19 — uniqueness (`metrics.py:198-234`). */
-  def uniqueness(df: DataFrame): Uniqueness = {
-    val rows = df.count()
-    val dupRows = Profiler.duplicateRowCount(df)
-    val aggs = df.columns.map(c => countDistinct(col(c)).as(c))
+  /** A19 — uniqueness (`metrics.py:198-234`). Per-column distinct counts use
+    * HyperLogLog (`approx_count_distinct`) by default: N exact `countDistinct`s
+    * in one agg compile to the Expand-based multi-distinct plan (input ×N
+    * duplication — a scale-killer); the HLL path is one ordinary hash-agg
+    * pass. `exactDistinct = true` restores the exact plan for small tests. */
+  def uniqueness(df: DataFrame, exactDistinct: Boolean = false): Uniqueness = {
+    val distinctAgg: String => org.apache.spark.sql.Column =
+      c => if (exactDistinct) countDistinct(col(c)) else approx_count_distinct(col(c))
+    val aggs = count(lit(1)).as("__rows") +: df.columns.map(c => distinctAgg(c).as(c))
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val rows = r.getAs[Long]("__rows")
+    val dupRows = Profiler.duplicateRowCount(df)
     val per = df.columns.map(c =>
       c -> (if (rows == 0) 100.0 else r.getAs[Long](c) * 100.0 / rows)).toMap
     Uniqueness(if (rows == 0) 0 else dupRows * 100.0 / rows, per)
@@ -106,10 +112,14 @@ object Metrics {
     val refSel = reference.select((key +: shared.toSeq).map(c =>
       col(c).as(s"__ref_$c")): _*)
     val joined = df.join(refSel, col(key) === col(s"__ref_$key"))
+    // ONE agg with every corr() — per-column aggs would re-execute the join
+    // once per shared column
+    val aggs = shared.map(c =>
+      corr(col(c).cast("double"), col(s"__ref_$c").cast("double")).as(c))
+    val r = joined.agg(aggs.head, aggs.tail: _*).collect()(0)
     val corrs = shared.flatMap { c =>
-      val v = joined.agg(corr(col(c).cast("double"),
-        col(s"__ref_$c").cast("double"))).collect()(0)
-      if (v.isNullAt(0)) None else Some(v.getDouble(0))
+      val i = r.fieldIndex(c)
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
     }
     if (corrs.isEmpty) None else Some(corrs.sum / corrs.length)
   }
@@ -123,7 +133,9 @@ object Metrics {
       (d.validity.castSuccessRatePct / 100.0)
     val consistScore = math.max(0.0, 100.0 - d.consistency.avgStringLengthStd)
     val uniqScore = math.max(0.0, 100.0 - d.uniqueness.duplicateRowPct)
-    val accScore = d.accuracy.map(a => math.abs(a) * 100.0).getOrElse(100.0)
+    // reference clamps negative correlation to 0 and scores 0 when no
+    // reference frame exists (`metrics.py:276,295`) — NOT abs()/100-default
+    val accScore = d.accuracy.map(a => math.max(0.0, a * 100.0)).getOrElse(0.0)
     val s = compScore * 0.30 + validScore * 0.25 + consistScore * 0.20 +
       uniqScore * 0.15 + accScore * 0.10
     math.round(s * 100) / 100.0

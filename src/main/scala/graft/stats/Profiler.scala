@@ -180,12 +180,21 @@ object Profiler {
   }
 
   /** A14 — correlation matrix over the first `maxCols` numeric columns
-    * (`profiler.py:135-142` caps at 10). One pass per pair via stat.corr. */
+    * (`profiler.py:135-142` caps at 10). ALL pairs in ONE agg pass —
+    * `df.stat.corr` per pair would be O(k²) full scans. */
   def correlationPairs(df: DataFrame, maxCols: Int = 10): Seq[(String, String, Double)] = {
     val nums = df.schema.fields.filter(f => isNumeric(f.dataType))
       .map(_.name).take(maxCols)
-    for { i <- nums.indices; j <- (i + 1) until nums.length }
-      yield (nums(i), nums(j), df.stat.corr(nums(i), nums(j)))
+    val pairs = for { i <- nums.indices; j <- (i + 1) until nums.length }
+      yield (nums(i), nums(j))
+    if (pairs.isEmpty) return Nil
+    val aggs = pairs.map { case (a, b) =>
+      corr(col(a).cast("double"), col(b).cast("double")).as(s"$a::$b") }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    pairs.map { case (a, b) =>
+      val i = r.fieldIndex(s"$a::$b")
+      (a, b, if (r.isNullAt(i)) Double.NaN else r.getDouble(i))
+    }
   }
 
   /** A16 — completeness: per-row missing-cell distribution in one pass. */
