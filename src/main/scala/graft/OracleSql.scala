@@ -59,11 +59,20 @@ object OracleSql {
 
   // Slot i hashes md5(shingle || '#' || i/2); even slots take hex chars 1-15,
   // odd slots chars 16-30 (two 60-bit hashes per digest — matches MinHashSig).
-  private def minhashSlot(i: Int) = {
+  private def minhashSlotOver(i: Int, shinglesExpr: String) = {
     val digest = s"md5(s || '#${i / 2}')"
     val sub = if (i % 2 == 0) s"substring($digest, 1, 15)" else s"substring($digest, 16, 15)"
-    s"list_min(list_transform(${shingles3("text")}, s -> CAST(('0x' || $sub) AS BIGINT)))"
+    s"list_min(list_transform($shinglesExpr, s -> CAST(('0x' || $sub) AS BIGINT)))"
   }
+  private def minhashSlot(i: Int) = minhashSlotOver(i, shingles3("text"))
+
+  /** Sign-bit hyperplane LSH bucket of an embedding list column `e` — the
+    * literal-plane math of Similarity.planeVector/planeBit re-derived in SQL. */
+  private def bucketSql(e: String, planes: Int) = (0 until planes).map { p =>
+    val comp = s"((CAST(('0x' || substring(md5('pl$p#' || CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) % 1000) / 1000.0 - 0.5)"
+    val proj = s"list_sum(list_transform(range(1, len($e) + 1), i -> CAST($e[i] AS DOUBLE) * $comp))"
+    s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
+  }.mkString("(", " + ", ")")
 
   private val simhash16 = {
     val hashes = s"list_transform(${toks(norm("text"))}, t -> ${hx("t")})"
@@ -238,6 +247,59 @@ object OracleSql {
 
     "q18_simhash" ->
       s"""SELECT doc_id, CAST($simhash16 AS BIGINT) AS simhash16 FROM documents""",
+
+    // MinHash LSH bands (k=16, 4 bands of 4 rows): band key = md5-60 of the
+    // comma-joined band slots; candidates share ANY band key
+    "q17b_minhash_pairs" -> {
+      val slots = (0 until 16).map(i => s"${minhashSlotOver(i, "sh")} AS s${i}")
+        .mkString(", ")
+      val bandKeys = (0 until 4).map { b =>
+        val joined = (0 until 4).map(r => s"CAST(s${b * 4 + r} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"${hx(s"($joined)")} AS k$b"
+      }.mkString(", ")
+      val anyBand = (0 until 4).map(b => s"a.k$b = b.k$b").mkString(" OR ")
+      s"""WITH d AS (SELECT doc_id, ${shingles3("text")} AS sh FROM documents),
+         |s AS (SELECT doc_id, $slots FROM d),
+         |k AS (SELECT doc_id, $bandKeys FROM s)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM k a JOIN k b ON a.doc_id < b.doc_id AND ($anyBand)""".stripMargin
+    },
+
+    // exact all-pairs n-gram Jaccard ≥ 0.3 (the Spark side's prefix-filtered
+    // join must find EVERY qualifying pair — recall 1.0 is part of the check)
+    "q20_ngram_jaccard" ->
+      s"""WITH s AS (SELECT doc_id, list_distinct(${shingles3("text")}) AS sh FROM documents)
+         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |WHERE j >= 0.3""".stripMargin,
+
+    // hyperplane-LSH ANN top-1 (4 planes): bucket-equality join + exact cosine
+    "q19b_lsh_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM e WHERE vec_id < 10)
+         |SELECT q_id AS query_id, vec_id AS neighbor_id, round(cos, 4) AS cos FROM (
+         |  SELECT q.q_id, e.vec_id, $cosSql AS cos,
+         |    row_number() OVER (PARTITION BY q.q_id ORDER BY $cosSql DESC, e.vec_id ASC) AS rn
+         |  FROM e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.q_id)
+         |WHERE rn = 1""".stripMargin,
+
+    // embedding near-dup pairs (2 planes, cos ≥ 0.4): bucket join + verify
+    "q21_embedding_neardup" -> {
+      val dotAB = "list_sum(list_transform(range(1, len(ea) + 1), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))"
+      val nrm = (e: String) => s"sqrt(list_sum(list_transform(range(1, len($e) + 1), i -> CAST($e[i] AS DOUBLE) * CAST($e[i] AS DOUBLE))))"
+      s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding", 2)} AS bucket,
+         |  ${nrm("embedding")} AS nrm FROM embeddings)
+         |SELECT id_a, id_b, round(cos, 4) AS cos FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+         |         ELSE (SELECT $dotAB FROM (SELECT a.embedding AS ea, b.embedding AS eb)) / (a.nrm * b.nrm) END AS cos
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE cos >= 0.4""".stripMargin
+    },
 
     "q19_cosine_top1" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10)

@@ -246,10 +246,11 @@ object SparkEntry {
         element_at(sig, 3).as("mh2"), element_at(sig, 4).as("mh3"))
     }),
 
-    // MinHash LSH candidate pairs (rows-only: banding join not ANSI-friendly)
+    // MinHash LSH candidate pairs (portable hashes: the banding is
+    // deterministic md5 math, so DuckDB re-derives the same buckets)
     "q17b_minhash_pairs" -> ((s, dir) => {
       Dedup.minhashCandidatePairs(read(s, dir, "documents"), "text", "doc_id",
-        k = 16, bands = 4, shingleK = 3, portable = false)
+        k = 16, bands = 4, shingleK = 3, portable = true)
     }),
 
     // SimHash (16-bit portable variant for oracle tractability)

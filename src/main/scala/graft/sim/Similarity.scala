@@ -34,24 +34,33 @@ object Similarity {
     when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * maps a portable hash to [−0.5, 0.5). */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(Text.portableHash(concat(lit(s"pl$plane#"), dim.cast("string"))),
-      lit(1000L)).cast("double") / 1000.0) - 0.5
+  /** Deterministic pseudo-random hyperplane vector for `plane`: component d
+    * maps the portable hash of "pl{plane}#{d}" to [−0.5, 0.5). Computed ONCE
+    * on the driver and shipped as a literal array — the round-1 variant
+    * re-derived every component per row through interpreted HOFs (an md5 per
+    * (row × plane × dim), ~6k digests/row at 768 dims — a scale-killer). */
+  def planeVector(plane: Int, dims: Int): Seq[Double] =
+    Seq.tabulate(dims) { d =>
+      (graft.functions.Hashing.md5_60(s"pl$plane#$d".getBytes("UTF-8")) % 1000L)
+        .toDouble / 1000.0 - 0.5
+    }
 
-  /** Sign of the projection of `v` on hyperplane `plane` (1 bit). */
-  def planeBit(v: Column, plane: Int): Column = {
-    val proj = aggregate(
-      zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, i) => x.cast("double") * planeComponent(plane, i)),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sign of the projection of `v` on hyperplane `plane` (1 bit): one
+    * primitive-loop dot product against the literal plane vector. */
+  def planeBit(v: Column, plane: Int, dims: Int): Column = {
+    val proj = graft.functions.F.dot(v, typedLit(planeVector(plane, dims)))
     when(proj >= 0, lit(1L)).otherwise(lit(0L))
   }
 
-  /** Random-hyperplane LSH bucket id: `planes` sign bits packed to a long. */
-  def hyperplaneBucket(v: Column, planes: Int = 8): Column =
-    (0 until planes).map(p => planeBit(v, p) * lit(1L << p)).reduce(_ + _)
+  /** Random-hyperplane LSH bucket id: `planes` sign bits packed to a long.
+    * `dims` is the (fixed) embedding dimensionality — see [[vecDims]]. */
+  def hyperplaneBucket(v: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map(p => planeBit(v, p, dims) * lit(1L << p)).reduce(_ + _)
+
+  /** Embedding dimensionality probe (one-row job; embeddings are fixed-width
+    * per table, so a single row suffices). */
+  def vecDims(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).limit(1).collect()(0).getInt(0)
 
   /** Exact cosine top-k for each query row. `queries` must be small enough to
     * broadcast (driver hints it); corpus side streams. Deterministic
@@ -81,12 +90,13 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
               k: Int, planes: Int = 8): DataFrame = {
+    val dims = vecDims(corpus, vecCol)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       sqrt(dot(col(vecCol), col(vecCol))).as("cn"),
-      hyperplaneBucket(col(vecCol), planes).as("bucket"))
+      hyperplaneBucket(col(vecCol), planes, dims).as("bucket"))
     val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
       sqrt(dot(col(qVecCol), col(qVecCol))).as("qn"),
-      hyperplaneBucket(col(qVecCol), planes).as("bucket"))
+      hyperplaneBucket(col(qVecCol), planes, dims).as("bucket"))
     val joined = c.join(q, "bucket")
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

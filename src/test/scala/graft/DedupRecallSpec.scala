@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.Hashing
+
+/**
+ * Recall proofs for the near-dup operators (VERDICT r01 "fix near-dup
+ * recall"): both fixed operators are EXACT — their output must equal the
+ * brute-force ground truth computed driver-side on a fixture with known
+ * pair similarities spanning J ∈ [0.2, 0.95] / hamming ∈ [0, 8].
+ */
+class DedupRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic word soup + mutated near-copies. Doc 3i+1/3i+2 are copies
+    * of doc 3i with a growing fraction of words replaced, so true Jaccard
+    * covers the whole [lowish, high] range. */
+  private val vocab = (0 until 400).map(i => s"w$i")
+  private def baseDoc(i: Int): Vector[String] =
+    Vector.tabulate(30)(j => vocab((Hashing.fast64(s"$i#$j".getBytes, 7L) % 400).toInt.abs))
+  private def mutate(doc: Vector[String], frac: Double, seed: Int): Vector[String] =
+    doc.zipWithIndex.map { case (w, j) =>
+      if ((Hashing.fast64(s"m$seed#$j".getBytes, 11L) % 1000).abs < frac * 1000)
+        vocab((Hashing.fast64(s"r$seed#$j".getBytes, 13L) % 400).toInt.abs)
+      else w
+    }
+  private val docs: Seq[(Long, String)] = (0 until 30).flatMap { i =>
+    val b = baseDoc(i)
+    // word-shingle Jaccard decays ~cubed in word-replacement rate, so keep
+    // mutation fractions small to spread true J across [0.2, 0.95]
+    Seq((3L * i, b.mkString(" ")),
+        (3L * i + 1, mutate(b, 0.02 + 0.006 * i, i).mkString(" ")),
+        (3L * i + 2, mutate(b, 0.05 + 0.008 * i, 1000 + i).mkString(" ")))
+  }
+
+  /** Driver-side shingle set identical to WordShingles(k=3, distinct). */
+  private def shingleSet(text: String): Set[String] = {
+    val toks = Hashing.tokenize(text.toLowerCase)
+    if (toks.length <= 3) Set(toks.mkString(" "))
+    else (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+  }
+
+  test("ngramJaccardPairs is exact: equals brute-force pairs at t=0.3 (recall 1.0)") {
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df, "text", "doc_id", shingleK = 3, minJaccard = 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= 0.3
+    } yield (ia, ib)).toSet
+    assert(want.nonEmpty && want.size >= 20, s"fixture too easy: ${want.size} true pairs")
+    assert(got === want) // exact: no missed pairs AND no false positives
+    // sanity: the truth set spans borderline similarities (0.3..0.5)
+    val borderline = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= 0.3 && j < 0.5
+    } yield (ia, ib)).size
+    assert(borderline >= 5, s"want borderline pairs, got $borderline")
+  }
+
+  test("simhashPairs is exact: pigeonhole blocks equal brute-force hamming ≤ 3") {
+    val df = docs.toDF("doc_id", "text")
+    val sigs = df.select($"doc_id", Dedup.simhash($"text", bits = 32).as("sig"))
+      .as[(Long, Long)].collect().toSeq // Seq, NOT Map: a for over a Map would collapse (ia, ib) yields by key
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val got = Dedup.simhashPairs(df, "text", "doc_id", bits = 32, maxDist = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture produced no hamming-close pairs")
+    assert(got === want)
+  }
+}
