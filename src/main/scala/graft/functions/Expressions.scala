@@ -47,12 +47,36 @@ object Hashing {
     while (i < 16) { lo = (lo << 8) | (h(i) & 0xffL); i += 1 }
     ((hi >>> 4), ((hi & 0xfL) << 56) | (lo >>> 8))
   }
+  // ---- zero-allocation range variants (byte-path expressions) ----
+  /** md5 of buf[off, off+len) into `out16` (no digest allocation). */
+  def md5Into(buf: Array[Byte], off: Int, len: Int, out16: Array[Byte]): Unit = {
+    val d = tl.get(); d.reset(); d.update(buf, off, len); d.digest(out16, 0, 16)
+  }
+  /** High 60-bit half of a digest already in `out16` (hex nibbles 0-14). */
+  def pack60a(h: Array[Byte]): Long = {
+    var hi = 0L; var i = 0
+    while (i < 8) { hi = (hi << 8) | (h(i) & 0xffL); i += 1 }
+    hi >>> 4
+  }
+  /** Low 60-bit half (hex nibbles 15-29). */
+  def pack60b(h: Array[Byte]): Long = {
+    var hi = 0L; var lo = 0L; var i = 0
+    while (i < 8) { hi = (hi << 8) | (h(i) & 0xffL); i += 1 }
+    while (i < 16) { lo = (lo << 8) | (h(i) & 0xffL); i += 1 }
+    ((hi & 0xfL) << 56) | (lo >>> 8)
+  }
+
+  def isWsByte(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == 0x0C || b == '\r'
+
   /** Fast non-portable 64-bit mix (splitmix64 over bytes) for the scale path. */
-  def fast64(bytes: Array[Byte], seed: Long): Long = {
-    var h = seed ^ (bytes.length * 0x9E3779B97F4A7C15L)
-    var i = 0
-    while (i < bytes.length) {
-      h = (h ^ (bytes(i) & 0xffL)) * 0xBF58476D1CE4E5B9L
+  def fast64(bytes: Array[Byte], seed: Long): Long =
+    fast64(bytes, 0, bytes.length, seed)
+  def fast64(buf: Array[Byte], off: Int, len: Int, seed: Long): Long = {
+    var h = seed ^ (len * 0x9E3779B97F4A7C15L)
+    var i = off; val end = off + len
+    while (i < end) {
+      h = (h ^ (buf(i) & 0xffL)) * 0xBF58476D1CE4E5B9L
       h ^= (h >>> 27); i += 1
     }
     h * 0x94D049BB133111EBL ^ ((h * 0x94D049BB133111EBL) >>> 31)
@@ -79,6 +103,99 @@ object Hashing {
   def normalize(s: String): String = {
     val toks = tokenize(s.toLowerCase)
     toks.mkString(" ")
+  }
+}
+
+/**
+ * Reusable per-thread scratch buffers for the byte-path text expressions —
+ * the round-1 hot loops allocated a String + a substring per token per row
+ * (`UTF8String.toString`, `toLowerCase`, `mkString`), which made the 40 M-doc
+ * scaling bench allocation-bound (BENCH r01: 0.66 efficiency, shared-heap GC
+ * ceiling). The byte path touches only these thread-local buffers after
+ * warmup. ThreadLocal (not per-expression mutable state) keeps eval()
+ * thread-safe regardless of how Spark shares expression instances.
+ */
+final class TextScratch {
+  var lower: Array[Byte] = new Array[Byte](1 << 10)   // ASCII-lowered copy
+  var tokStart: Array[Int] = new Array[Int](64)
+  var tokEnd: Array[Int] = new Array[Int](64)
+  var nToks: Int = 0
+  var shingle: Array[Byte] = new Array[Byte](1 << 9)  // shingle build buffer
+  val out16: Array[Byte] = new Array[Byte](16)        // md5 digest target
+  val votes: Array[Int] = new Array[Int](64)          // simhash bit votes
+
+  def ensureLower(n: Int): Unit =
+    if (lower.length < n) lower = new Array[Byte](math.max(n, lower.length * 2))
+  def ensureShingle(n: Int): Unit =
+    if (shingle.length < n) shingle = new Array[Byte](math.max(n, shingle.length * 2))
+  def addTok(s: Int, e: Int): Unit = {
+    if (nToks == tokStart.length) {
+      tokStart = java.util.Arrays.copyOf(tokStart, nToks * 2)
+      tokEnd = java.util.Arrays.copyOf(tokEnd, nToks * 2)
+    }
+    tokStart(nToks) = s; tokEnd(nToks) = e; nToks += 1
+  }
+
+  /** ASCII-lower `u` into [[lower]] and record whitespace-token offsets.
+    * Returns false when a non-ASCII byte is seen — callers then take the
+    * exact (String-based) slow path, so Unicode semantics are unchanged. */
+  def lowerAndTokenize(u: UTF8String): Boolean = {
+    val n = u.numBytes
+    ensureLower(n)
+    val src = u.getBytes // may be the backing array — read-only here
+    nToks = 0
+    var i = 0; var inTok = false; var start = 0
+    while (i < n) {
+      var b = src(i)
+      if (b < 0) return false // non-ASCII → exact slow path
+      if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
+      lower(i) = b
+      if (Hashing.isWsByte(b)) {
+        if (inTok) { addTok(start, i); inTok = false }
+      } else if (!inTok) { start = i; inTok = true }
+      i += 1
+    }
+    if (inTok) addTok(start, n)
+    true
+  }
+
+  /** Join tokens [from, from+cnt) of [[lower]] into [[shingle]] separated by
+    * single spaces; returns the byte length written. */
+  def buildShingle(from: Int, cnt: Int): Int = {
+    var need = math.max(cnt - 1, 0)
+    var t = from
+    while (t < from + cnt) { need += tokEnd(t) - tokStart(t); t += 1 }
+    ensureShingle(need + 24) // headroom for a "#NN" suffix
+    var w = 0
+    t = from
+    while (t < from + cnt) {
+      if (t > from) { shingle(w) = ' '; w += 1 }
+      val len = tokEnd(t) - tokStart(t)
+      System.arraycopy(lower, tokStart(t), shingle, w, len)
+      w += len; t += 1
+    }
+    w
+  }
+
+  /** Append "#<i>" (ASCII digits) at `w0` in [[shingle]]; returns new length. */
+  def appendHashSuffix(w0: Int, i: Int): Int = {
+    var w = w0
+    shingle(w) = '#'; w += 1
+    if (i == 0) { shingle(w) = '0'; w += 1 }
+    else {
+      val d0 = w
+      var x = i
+      while (x > 0) { shingle(w) = ('0' + x % 10).toByte; x /= 10; w += 1 }
+      // digits were written least-significant first; flip in place
+      var a = d0; var b = w - 1
+      while (a < b) { val t = shingle(a); shingle(a) = shingle(b); shingle(b) = t; a += 1; b -= 1 }
+    }
+    w
+  }
+}
+object TextScratch {
+  val tl: ThreadLocal[TextScratch] = new ThreadLocal[TextScratch] {
+    override def initialValue(): TextScratch = new TextScratch
   }
 }
 
@@ -141,8 +258,58 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
     val s = new java.util.HashSet[String]()
     stopwords.foreach(w => s.add(w)); s
   }
+  /** Stopword bytes bucketed by length — in-place token matching without a
+    * per-token substring/lowercase allocation (all stopwords are ASCII). */
+  @transient private lazy val stopByLen: Array[Array[Array[Byte]]] = {
+    val max = if (stopwords.isEmpty) 0 else stopwords.map(_.length).max
+    val buckets = Array.fill(max + 1)(scala.collection.mutable.ArrayBuffer[Array[Byte]]())
+    stopwords.foreach(w => if (w == w.toLowerCase && w.forall(_ < 128))
+      buckets(w.length) += w.getBytes("UTF-8"))
+    buckets.map(_.toArray)
+  }
+
   override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+    val u = v.asInstanceOf[UTF8String]
+    val sc = TextScratch.tl.get()
+    if (!sc.lowerAndTokenize(u)) return evalSlow(u.toString)
+    val b = sc.lower
+    val n = u.numBytes
+    var nBpe = 0; var nPunct = 0; var nWs = 0
+    var inAlnum = false
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (Hashing.isWsByte(c)) { nWs += 1; inAlnum = false }
+      else {
+        val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        if (alnum) { if (!inAlnum) { nBpe += 1; inAlnum = true } }
+        else { nBpe += 1; nPunct += 1; inAlnum = false }
+      }
+      i += 1
+    }
+    var nStop = 0
+    var t = 0
+    while (t < sc.nToks) {
+      val s = sc.tokStart(t); val len = sc.tokEnd(t) - s
+      if (len < stopByLen.length) {
+        val cands = stopByLen(len)
+        var ci = 0; var hit = false
+        while (!hit && ci < cands.length) {
+          val w = cands(ci)
+          var j = 0
+          while (j < len && w(j) == b(s + j)) j += 1
+          hit = j == len
+          ci += 1
+        }
+        if (hit) nStop += 1
+      }
+      t += 1
+    }
+    InternalRow(sc.nToks, nBpe, nPunct, nWs, n, nStop)
+  }
+
+  /** Exact Unicode path for non-ASCII input (the round-1 per-codepoint loop). */
+  private def evalSlow(s: String): Any = {
     var nTok = 0; var nBpe = 0; var nPunct = 0; var nWs = 0; var nStop = 0
     var len = 0
     var i = 0; val n = s.length
@@ -184,7 +351,45 @@ case class MinHashSig(child: Expression, k: Int, shingleK: Int, portable: Boolea
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any = {
-    val toks = Hashing.tokenize(v.asInstanceOf[UTF8String].toString.toLowerCase)
+    val u = v.asInstanceOf[UTF8String]
+    val sc = TextScratch.tl.get()
+    if (!sc.lowerAndTokenize(u)) return evalSlow(u.toString)
+    val nt = sc.nToks
+    val sig = Array.fill(k)(Long.MaxValue)
+    val nSh = if (nt <= shingleK) 1 else nt - shingleK + 1
+    var si = 0
+    while (si < nSh) {
+      // docs shorter than shingleK words form ONE whole-text shingle
+      val base = sc.buildShingle(si, if (nt <= shingleK) nt else shingleK)
+      if (portable) {
+        var pair = 0
+        while (pair * 2 < k) {
+          val w = sc.appendHashSuffix(base, pair)
+          Hashing.md5Into(sc.shingle, 0, w, sc.out16)
+          val h0 = Hashing.pack60a(sc.out16)
+          if (h0 < sig(pair * 2)) sig(pair * 2) = h0
+          if (pair * 2 + 1 < k) {
+            val h1 = Hashing.pack60b(sc.out16)
+            if (h1 < sig(pair * 2 + 1)) sig(pair * 2 + 1) = h1
+          }
+          pair += 1
+        }
+      } else {
+        var i = 0
+        while (i < k) {
+          val h = Hashing.fast64(sc.shingle, 0, base, i * 0x9E3779B97F4A7C15L + 42L)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      si += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Exact Unicode path for non-ASCII input (the round-1 String loop). */
+  private def evalSlow(s0: String): Any = {
+    val toks = Hashing.tokenize(s0.toLowerCase)
     val shingles: Array[String] =
       if (toks.length <= shingleK) Array(toks.mkString(" "))
       else Array.tabulate(toks.length - shingleK + 1)(i =>
@@ -224,7 +429,32 @@ case class SimHashExpr(child: Expression, bits: Int, portable: Boolean)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any = {
-    val toks = Hashing.tokenize(v.asInstanceOf[UTF8String].toString.toLowerCase)
+    val u = v.asInstanceOf[UTF8String]
+    val sc = TextScratch.tl.get()
+    if (!sc.lowerAndTokenize(u)) return evalSlow(u.toString)
+    java.util.Arrays.fill(sc.votes, 0, bits, 0)
+    var t = 0
+    while (t < sc.nToks) {
+      val s = sc.tokStart(t); val len = sc.tokEnd(t) - s
+      val h =
+        if (portable) { Hashing.md5Into(sc.lower, s, len, sc.out16); Hashing.pack60a(sc.out16) }
+        else Hashing.fast64(sc.lower, s, len, 42L)
+      var b = 0
+      while (b < bits) {
+        if (((h >>> b) & 1L) != 0L) sc.votes(b) += 1 else sc.votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (sc.votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Exact Unicode path for non-ASCII input (the round-1 String loop). */
+  private def evalSlow(s0: String): Any = {
+    val toks = Hashing.tokenize(s0.toLowerCase)
     val votes = new Array[Int](bits)
     var ti = 0
     while (ti < toks.length) {
@@ -251,7 +481,26 @@ case class WordShingles(child: Expression, k: Int, distinct: Boolean)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(v: Any): Any = {
-    val toks = Hashing.tokenize(v.asInstanceOf[UTF8String].toString.toLowerCase)
+    val u = v.asInstanceOf[UTF8String]
+    val sc = TextScratch.tl.get()
+    if (!sc.lowerAndTokenize(u)) return evalSlow(u.toString)
+    val nt = sc.nToks
+    val nSh = if (nt <= k) 1 else nt - k + 1
+    // output UTF8Strings must own their bytes (the scratch buffer is reused)
+    val out = new java.util.ArrayList[AnyRef](nSh)
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+    var si = 0
+    while (si < nSh) {
+      val w = sc.buildShingle(si, if (nt <= k) nt else k)
+      val s = UTF8String.fromBytes(java.util.Arrays.copyOfRange(sc.shingle, 0, w))
+      if (seen == null || seen.add(s)) out.add(s)
+      si += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  /** Exact Unicode path for non-ASCII input (the round-1 String loop). */
+  private def evalSlow(s0: String): Any = {
+    val toks = Hashing.tokenize(s0.toLowerCase)
     val sh: Array[String] =
       if (toks.length <= k) Array(toks.mkString(" "))
       else Array.tabulate(toks.length - k + 1)(i => toks.slice(i, i + k).mkString(" "))
