@@ -42,6 +42,16 @@ object Bench {
 
     // ---- per-query timings (full plan execution via noop sink)
     val engineOnly = sys.env.get("SPARK_GRAFT_ENGINE_ONLY").contains("1")
+    if (!engineOnly) {
+      // warmup: page-cache the input tables + JIT the scan/agg paths so the
+      // alphabetically-first query doesn't absorb the cold-start cost
+      Seq("lineitem", "orders", "events", "documents", "embeddings", "part",
+        "customer").foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+      }
+    }
     val results = if (engineOnly) Seq.empty else
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

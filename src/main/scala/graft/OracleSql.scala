@@ -508,9 +508,93 @@ object OracleSql {
       q33Line("Location", "GENERAL", ""),
       q33Line("Gender", "GENERAL", "")).mkString(" UNION ALL ")
 
+    // --- q36: Scorer.score penalty breakdown (scorer.py:10-45 weights
+    // ERROR 5 / WARNING 2 / INFO 0.5, penalty = rows/total·w·10 cap 15)
+    val crossNeMask = { // V9: no name token (len>2) in the email local part
+      val user = "substring(lower(CAST(Email AS VARCHAR)), 1, CASE WHEN strpos(lower(CAST(Email AS VARCHAR)), '@') > 0 THEN strpos(lower(CAST(Email AS VARCHAR)), '@') - 1 ELSE length(Email) END)"
+      val toks = s"list_filter(string_split_regex(lower(CAST(Name AS VARCHAR)), '\\s+'), t -> length(t) > 2)"
+      s"""(Name IS NOT NULL AND Email IS NOT NULL AND contains(CAST(Email AS VARCHAR), '@')
+         | AND len($toks) > 0
+         | AND NOT coalesce(len(list_filter($toks, t -> contains($user, t))) > 0, FALSE)
+         | AND NOT coalesce(len($toks) >= 2 AND contains($user, substring(($toks)[1], 1, 1) || ($toks)[-1]), FALSE))"""
+        .stripMargin.replace("\n", " ")
+    }
+    val q36 =
+      s"""WITH c AS (SELECT CAST(count(*) AS DOUBLE) AS total,
+         |  sum(CASE WHEN $nameMask THEN 1 ELSE 0 END) AS n_name,
+         |  sum(CASE WHEN $phoneMask THEN 1 ELSE 0 END) AS n_phone,
+         |  sum(CASE WHEN $emailMask THEN 1 ELSE 0 END) AS n_email,
+         |  sum(CASE WHEN $dobFutureMask THEN 1 ELSE 0 END) AS n_dob,
+         |  sum(CASE WHEN $ageMask THEN 1 ELSE 0 END) AS n_age,
+         |  sum(CASE WHEN $genderMask THEN 1 ELSE 0 END) AS n_gender,
+         |  CAST(round(sum(CASE WHEN Location IS NOT NULL THEN 1 ELSE 0 END)
+         |    * (1.0 - avg(CASE WHEN $locTitle THEN 1.0 ELSE 0.0 END))) AS BIGINT) AS n_loc,
+         |  avg(CASE WHEN $locTitle THEN 1.0 ELSE 0.0 END) AS loc_ratio,
+         |  sum(CASE WHEN $crossDobMask THEN 1 ELSE 0 END) AS n_cross,
+         |  sum(CASE WHEN $crossNeMask THEN 1 ELSE 0 END) AS n_ne
+         | FROM $people),
+         |lines AS (
+         |  SELECT 'NAME_format' AS rule, 'WARNING' AS severity, CAST(n_name AS BIGINT) AS "rows", round(least(n_name/total*2*10, 15.0), 2) AS penalty FROM c WHERE n_name > 0
+         |  UNION ALL SELECT 'PHONE_format', 'ERROR', CAST(n_phone AS BIGINT), round(least(n_phone/total*5*10, 15.0), 2) FROM c WHERE n_phone > 0
+         |  UNION ALL SELECT 'EMAIL_format', 'ERROR', CAST(n_email AS BIGINT), round(least(n_email/total*5*10, 15.0), 2) FROM c WHERE n_email > 0
+         |  UNION ALL SELECT 'DOB_range', 'ERROR', CAST(n_dob AS BIGINT), round(least(n_dob/total*5*10, 15.0), 2) FROM c WHERE n_dob > 0
+         |  UNION ALL SELECT 'AGE_range', 'ERROR', CAST(n_age AS BIGINT), round(least(n_age/total*5*10, 15.0), 2) FROM c WHERE n_age > 0
+         |  UNION ALL SELECT 'GENDER_standard', 'WARNING', CAST(n_gender AS BIGINT), round(least(n_gender/total*2*10, 15.0), 2) FROM c WHERE n_gender > 0
+         |  UNION ALL SELECT 'LOCATION_style', 'INFO', n_loc, round(least(n_loc/total*0.5*10, 15.0), 2) FROM c WHERE loc_ratio > 0.1 AND loc_ratio < 0.9
+         |  UNION ALL SELECT 'CROSS_DOB_AGE_MISMATCH', 'WARNING', CAST(n_cross AS BIGINT), round(least(n_cross/total*2*10, 15.0), 2) FROM c WHERE n_cross > 0
+         |  UNION ALL SELECT 'CROSS_NAME_EMAIL_MISMATCH', 'INFO', CAST(n_ne AS BIGINT), round(least(n_ne/total*0.5*10, 15.0), 2) FROM c WHERE n_ne > 0)
+         |SELECT rule, severity, "rows", penalty FROM lines
+         |UNION ALL SELECT 'TOTAL', '', 0, round((SELECT sum(penalty) FROM lines), 2)
+         |UNION ALL SELECT 'SCORE', '', 0, greatest(0.0, round(100 - (SELECT sum(penalty) FROM lines), 2))""".stripMargin
+
+    // --- q37: template-bound rules run through the validation engine
+    // (Pattern semantics: null FAILS, pandas na=False)
+    val emailFail = "NOT coalesce(regexp_matches(CAST(Email AS VARCHAR), '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}$'), FALSE)"
+    val phoneFail = "NOT coalesce(regexp_matches(CAST(Phone AS VARCHAR), '^\\+?1?\\d{9,15}$'), FALSE)"
+    val ageNumRaw = "TRY_CAST(CAST(Age AS VARCHAR) AS DOUBLE)"
+    val q37 =
+      s"""SELECT 'pattern_Email(Email)' AS rule_id, CAST(sum(CASE WHEN $emailFail THEN 1 ELSE 0 END) AS BIGINT) AS failed_count FROM $people
+         |UNION ALL SELECT 'pattern_Phone(Phone)', CAST(sum(CASE WHEN $phoneFail THEN 1 ELSE 0 END) AS BIGINT) FROM $people
+         |UNION ALL SELECT 'whole_number(Age)', CAST(sum(CASE WHEN $ageNumRaw IS NULL OR $ageNumRaw % 1 <> 0 THEN 1 ELSE 0 END) AS BIGINT) FROM $people
+         |UNION ALL SELECT 'numeric_range(Age)', CAST(sum(CASE WHEN $ageNumRaw IS NULL OR $ageNumRaw < 0 OR $ageNumRaw > 120 THEN 1 ELSE 0 END) AS BIGINT) FROM $people""".stripMargin
+
+    // --- q38: A22 + A23 folds; completeness/missingness from the semantic
+    // clean (q29's SQL as a CTE), importance from the initial frame, step
+    // logs pinned to (verify: 2 issues/3 warnings, schema: 5 conv/1 err,
+    // dedup: 0 removed)
+    def impOf(c: String) =
+      s"(0.5 + CAST(count(DISTINCT $c) AS DOUBLE) / count(*) * 0.3 - avg(CAST($c IS NULL AS INT)) * 0.4)"
+    def wOf(e: String) = s"(CASE WHEN $e >= 0.7 THEN 2.0 WHEN $e >= 0.4 THEN 1.0 ELSE 0.5 END)"
+    val pCols = Seq("Name", "DOB", "Age", "Phone", "Email", "Location", "Gender")
+    val q38 =
+      s"""WITH cleaned AS ($q29),
+         |imp AS (SELECT ${pCols.map(c => s"${impOf(c)} AS i_$c").mkString(", ")} FROM $people),
+         |cm AS (SELECT CAST(count(*) AS DOUBLE) AS nrows,
+         |  CAST(sum(${pCols.map(c => s"""CAST("$c" IS NULL AS INT)""").mkString(" + ")}) AS DOUBLE) AS miss,
+         |  ${pCols.map(c => s"""avg(CAST("$c" IS NULL AS INT)) * 100.0 AS mp_$c""").mkString(", ")}
+         | FROM cleaned),
+         |dup AS (SELECT CAST(coalesce(sum(cnt - 1), 0) AS DOUBLE) AS idups
+         |  FROM (SELECT count(*) AS cnt FROM $people GROUP BY ${pCols.mkString(", ")})),
+         |cdup AS (SELECT CAST(coalesce(sum(cnt - 1), 0) AS DOUBLE) AS cdups
+         |  FROM (SELECT count(*) AS cnt FROM cleaned GROUP BY ${pCols.map(c => s""""$c"""").mkString(", ")})),
+         |folds AS (SELECT
+         |  least(40.0, (1 - miss / (nrows * 7)) * 100 * 0.4) AS comp,
+         |  25.5 AS validity, 1.5 AS consistency,
+         |  (CASE WHEN idups = 0 THEN 10.0 ELSE 5.0 END) AS uniq,
+         |  greatest(0.0, least(100.0, round(100.0
+         |    - (${pCols.map(c => s"mp_$c * 0.8 * ${wOf(s"i_$c")}").mkString(" + ")}) / 7
+         |    - (cdups * 100.0 / nrows) * 2.0, 1))) AS a23
+         | FROM cm, imp, dup, cdup)
+         |SELECT round(comp, 4) AS a22_completeness, round(validity, 4) AS a22_validity,
+         | round(consistency, 4) AS a22_consistency, round(uniq, 4) AS a22_uniqueness,
+         | round(comp + validity + consistency + uniq, 2) AS a22_overall,
+         | round(a23, 1) AS a23_score
+         |FROM folds""".stripMargin
+
     Map("q28_semantic_issues" -> q28, "q29_semantic_clean" -> q29,
         "q30_engine_verdicts" -> q30, "q31_engine_violations" -> q31,
-        "q33_rule_generation" -> q33)
+        "q33_rule_generation" -> q33, "q36_semantic_report" -> q36,
+        "q37_rule_templates" -> q37, "q38_report_scores" -> q38)
   }
 
   // ------------------------------------------------------------- multimodal

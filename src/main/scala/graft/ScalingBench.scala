@@ -52,12 +52,20 @@ object ScalingBench {
     val rules = Seq(BoundRule(Required("doc_id")), BoundRule(SpanOffsetsMonotonic()),
       BoundRule(SpanFieldConsistency()), BoundRule(SpansNonEmpty()))
 
-    def leg(cores: Int): Double = {
+    /** (wall sec, GC sec, process-CPU sec) for one leg — GC/CPU deltas prove
+      * (or refute) the allocation-bound explanation for sub-linear scaling. */
+    def leg(cores: Int): (Double, Double, Double) = {
       val s = session(cores)
       import org.apache.spark.sql.functions._
+      import scala.jdk.CollectionConverters._
+      def gcMs: Long = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+      def cpuNs: Long = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean].getProcessCpuTime
       val docs = s.read.parquet(docsPath)
       val assets = fixtures.Fixtures.assets(s)
       val run = new engine.ValidationRun(s, engine.EngineConfig(rules))
+      val (gc0, cpu0) = (gcMs, cpuNs)
       val t0 = System.nanoTime()
       // 1) structural rule suite: verdicts + violations
       val (verdicts, viols) = run.run(docs, Some(assets))
@@ -74,18 +82,23 @@ object ScalingBench {
           graft.functions.F.simhash(text, 32, portable = false).as("sh"))
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      val (gcSec, cpuSec) = ((gcMs - gc0) / 1e3, (cpuNs - cpu0) / 1e9)
       s.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      sec
+      (sec, gcSec, cpuSec)
     }
 
-    // alternate legs; first pair is warmup, then two measured pairs
-    val order = Seq(big, small, big, small, big, small, big, small)
+    // alternate legs; first pair is warmup, then measured pairs (min-of-reps
+    // per width — this sandbox shows multi-x excursions on identical plans)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val order = Seq(big, small) ++ Seq.fill(reps)(Seq(big, small)).flatten
     val times = order.map(c => c -> leg(c))
-    def best(c: Int) = times.drop(2).filter(_._1 == c).map(_._2).min
+    def best(c: Int) = times.drop(2).filter(_._1 == c).map(_._2._1).min
     val (tBig, tSmall) = (best(big), best(small))
     val (thrBig, thrSmall) = (nDocs / tBig, nDocs / tSmall)
     val eff = thrBig / (4.0 * thrSmall)
-    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","n_small":$small,"n_big":$big,"docs":$nDocs,"sec_small":$tSmall%.2f,"sec_big":$tBig%.2f,"docs_per_sec_small":$thrSmall%.0f,"docs_per_sec_big":$thrBig%.0f,"all_legs":"${times.map { case (c, t) => f"$c:$t%.1f" }.mkString(",")}"}""")
+    val legsStr = times.map { case (c, (t, g, u)) =>
+      f"$c:$t%.1fs(gc=$g%.1f,cpu=$u%.0f)" }.mkString(",")
+    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","n_small":$small,"n_big":$big,"docs":$nDocs,"sec_small":$tSmall%.2f,"sec_big":$tBig%.2f,"docs_per_sec_small":$thrSmall%.0f,"docs_per_sec_big":$thrBig%.0f,"all_legs":"$legsStr"}""")
   }
 }

@@ -423,6 +423,62 @@ object SparkEntry {
           round($"score", 2).as("score"))
     }),
 
+    // V11/S14 — semantic report score with the reference's penalty-breakdown
+    // shape (report_demo_data.json:30-70): one row per penalty line plus
+    // TOTAL (penalty sum) and SCORE rows
+    "q36_semantic_report" -> ((s, dir) => {
+      import s.implicits._
+      val people = graft.fixtures.Fixtures.peoplePq(s)
+      val tm = graft.semantic.Detector.detectTypes(people)
+      val issues = graft.semantic.SemanticValidators.validate(people, tm,
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      val sc = graft.semantic.Scorer.score(people.count(), issues)
+      (sc.breakdown.map(l => (l.rule, l.severity, l.rows, l.penalty)) ++
+        Seq(("TOTAL", "", 0L, sc.penaltyTotal), ("SCORE", "", 0L, sc.score)))
+        .toDF("rule", "severity", "rows", "penalty")
+    }),
+
+    // P11 — auto rule templates from header keywords
+    // (ui/pages/validate.py:541-579), run end-to-end over the people fixture
+    "q37_rule_templates" -> ((s, dir) => {
+      import s.implicits._
+      val people = graft.fixtures.Fixtures.peoplePq(s)
+      val rules = graft.rules.Templates.bind(people.columns.toSeq)
+      val res = ValidationEngine.validate(people, rules)
+      res.columnSummary.map(c => (c.rule_id, c.failed_count))
+        .toDF("rule_id", "failed_count")
+    }),
+
+    // A22 (40/30/20/10 report score) + A23 (quality score v2): completeness /
+    // importance / missingness / drift derived from the people fixture and
+    // its semantic clean; step logs pinned so the oracle re-derives the folds
+    "q38_report_scores" -> ((s, dir) => {
+      import s.implicits._
+      val people = graft.fixtures.Fixtures.peoplePq(s)
+      val cleaned = graft.semantic.SemanticPipeline.process(people,
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).cleaned
+      val prof = graft.stats.Profiler.profile(cleaned)
+      val rows = prof.headOption.map(p => p.count + p.nulls).getOrElse(0L)
+      val missCells = prof.map(_.nulls).sum
+      val logs = Seq(
+        graft.stats.StepLog("verify", passed = false, issues = 2, warnings = 3),
+        graft.stats.StepLog("enforce_schema", typeConversions = 5, errors = 1),
+        graft.stats.StepLog("deduplicate", duplicatesRemoved = 0))
+      val m = graft.stats.ReportBuilder.metrics(rows, prof.size, missCells, logs,
+        initialDupRows = graft.stats.Profiler.duplicateRowCount(people))
+      val (v2, _) = graft.stats.QualityReportV2.scoreFrames(people, cleaned, Nil)
+      Seq((m.completenessScore, m.validityScore, m.consistencyScore,
+          m.uniquenessScore, m.overallScore, v2))
+        .toDF("a22_completeness", "a22_validity", "a22_consistency",
+          "a22_uniqueness", "a22_overall", "a23_score")
+        .select(round($"a22_completeness", 4).as("a22_completeness"),
+          round($"a22_validity", 4).as("a22_validity"),
+          round($"a22_consistency", 4).as("a22_consistency"),
+          round($"a22_uniqueness", 4).as("a22_uniqueness"),
+          round($"a22_overall", 2).as("a22_overall"),
+          round($"a23_score", 1).as("a23_score"))
+    }),
+
     // A27 — keyed raw-vs-clean cell diff after the C37 dynamic-clean pass
     "q35_cell_diff" -> ((s, dir) => {
       import s.implicits._

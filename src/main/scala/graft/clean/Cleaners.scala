@@ -157,7 +157,24 @@ object Cleaners {
       }
     val modes: Map[String, String] = strCols.flatMap { c =>
       Profiler.mode(df, c).map(v => c -> v.toString) }.toMap
-    df.na.fill(medians).na.fill(modes)
+    // C17 — date median via int64 seconds (`dynamic_cleaner.py:231-238`)
+    val tsCols = df.schema.fields.collect {
+      case f if f.dataType == TimestampType => f.name }
+    val withTs =
+      if (tsCols.isEmpty) df.na.fill(medians).na.fill(modes)
+      else {
+        val tAggs = tsCols.map(c =>
+          percentile_approx(unix_timestamp(col(c)).cast("double"), lit(0.5),
+            lit(10000)).as(c))
+        val tRow = df.agg(tAggs.head, tAggs.tail: _*).collect()(0)
+        val filled = tsCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+          if (tRow.isNullAt(i)) d
+          else d.withColumn(c, coalesce(col(c),
+            to_timestamp(from_unixtime(lit(tRow.getDouble(i).toLong)))))
+        }
+        filled.na.fill(medians).na.fill(modes)
+      }
+    withTs
   }
 
   /** W1 — forward fill over an explicit order (partition keys keep windows
@@ -266,9 +283,16 @@ object Cleaners {
   def suffixBase(name: String): String =
     name.replaceAll("(?i)([._]\\d+|[._](x|y)|_v\\d+)$", "")
 
-  def mergeDuplicateColumns(df: DataFrame): DataFrame = {
+  def mergeDuplicateColumns(df: DataFrame): DataFrame =
+    mergeDuplicateColumnsWithConflicts(df)._1
+
+  /** C14 with conflict counting (`data_processor.py:253-264`): for each merge
+    * group, conflicts = rows where the chosen head and a secondary member are
+    * both non-null with different (string) values. Two agg passes total: one
+    * for health stats, one for ALL groups' conflict counts. */
+  def mergeDuplicateColumnsWithConflicts(df: DataFrame): (DataFrame, Map[String, Long]) = {
     val groups = df.columns.groupBy(suffixBase).filter(_._2.length > 1)
-    if (groups.isEmpty) return df
+    if (groups.isEmpty) return (df, Map.empty)
     // health stats in ONE pass: per column non-null count + approx distinct
     val statCols = groups.values.flatten.toSeq
     val aggs = statCols.flatMap(c => Seq(
@@ -280,15 +304,29 @@ object Cleaners {
       val nn = row.getAs[Long](s"$c::nn").toDouble
       (nn / rows) * (row.getAs[Long](s"$c::d").toDouble / math.max(nn, 1.0))
     }
+    val ordered = groups.map { case (base, members) =>
+      base -> members.sortBy(c => -health(c)) }
+    // conflict counts for every group in ONE agg
+    val conflictAggs = ordered.toSeq.map { case (base, ms) =>
+      val head = col(ms.head)
+      val anyConflict = ms.tail.map(m =>
+        head.isNotNull && col(m).isNotNull &&
+          head.cast("string") =!= col(m).cast("string"))
+        .reduce(_ || _)
+      sum(anyConflict.cast("long")).as(base)
+    }
+    val cRow = df.agg(conflictAggs.head, conflictAggs.tail: _*).collect()(0)
+    val conflicts = ordered.keys.map(b =>
+      b -> (if (cRow.isNullAt(cRow.fieldIndex(b))) 0L
+            else cRow.getAs[Long](b))).toMap
     var out = df
-    groups.foreach { case (base, members) =>
-      val ordered = members.sortBy(c => -health(c))
-      val merged = coalesce(ordered.map(col): _*)
+    ordered.foreach { case (base, members) =>
+      val merged = coalesce(members.map(col).toSeq: _*)
       out = out.withColumn(s"__merged_$base", merged)
-        .drop(members: _*)
+        .drop(members.toSeq: _*)
         .withColumnRenamed(s"__merged_$base", base)
     }
-    out
+    (out, conflicts)
   }
 
   /** A12-driven constant-column drop (`cleaning_engine.py:94-100`): one

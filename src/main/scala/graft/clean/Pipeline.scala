@@ -20,9 +20,15 @@ case class CleanConfig(
     destructiveRowDeletion: Boolean = false,
     maxMissingRowPct: Double = 50.0,
     outlierMethod: String = "iqr",
+    outlierStrategy: String = "cap",           // cap | remove | mark (C19)
     coerceNumericThreshold: Double = 0.10,
     coerceBooleanThreshold: Double = 0.80,
     imputeMissing: Boolean = true,
+    mandatoryColumns: Seq[String] = Nil,       // missing_values.mandatory_columns
+    stripWhitespace: Boolean = true,           // text_cleaning.strip_whitespace
+    removeSpecialChars: Boolean = false,       // text_cleaning.remove_special_characters
+    allowedValues: Map[String, Seq[String]] = Map.empty, // text_cleaning.allowed_values
+    stageEnabled: Map[String, Boolean] = Map.empty,      // stages.<name>.enabled
     runTs: java.sql.Timestamp = java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
 
 case class StageResult(df: DataFrame, state: StageState.Value, detail: String)
@@ -65,39 +71,54 @@ class CleaningPipeline(spark: SparkSession, config: CleanConfig = CleanConfig())
     StageResult(df, state, "")
   }
 
-  /** Stage 2 — DETECT_TYPES (C1–C5): sample-driven coercion decisions on the
-    * driver, then ONE withColumns projection applying every coercion. */
+  /** Stage 2 — DETECT_TYPES (C1–C5): ONE cached 100-row sample + ONE wide agg
+    * computing every per-column rate (numeric-text, boolean-token, date-parse)
+    * — the round-1 variant ran up to 3 jobs per string column, one of them a
+    * full-table scan (~3·N jobs at 100 TB). Decisions on the driver, then one
+    * projection applying every coercion. Sampled detection mirrors the
+    * reference (100 rows, `detect_types.py:224,314`). */
   def detectTypes(df: DataFrame): StageResult = {
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    if (strCols.isEmpty) {
+      log("DETECT_TYPES", StageState.PASS, "")
+      return StageResult(df, StageState.PASS, "")
+    }
+    val numRe = "^\\s*[$€£¥₹]?[-+]?[\\d,]*\\.?\\d+([eE][-+]?\\d+)?%?\\s*$"
+    val sample = df.limit(100).cache()
+    val aggs: Seq[org.apache.spark.sql.Column] = strCols.toSeq.flatMap { c =>
+      val s = col(c).cast("string")
+      Seq(
+        avg(when(col(c).isNotNull, s.rlike(numRe).cast("double"))).as(s"$c::num"),
+        avg(when(col(c).isNotNull, lower(trim(s))
+          .isin(Cleaners.TrueTokens ++ Cleaners.FalseTokens: _*).cast("double"))).as(s"$c::bool"),
+        avg(when(col(c).isNotNull,
+          Cleaners.parseDateMulti(col(c)).isNotNull.cast("double"))).as(s"$c::date"))
+    }
+    val row = sample.agg(aggs.head, aggs.tail: _*).collect()(0)
+    sample.unpersist()
+    def rate(k: String): Double = {
+      val i = row.fieldIndex(k)
+      if (row.isNullAt(i)) 0.0 else row.getDouble(i)
+    }
     var out = df
     val decisions = scala.collection.mutable.ArrayBuffer[String]()
     strCols.foreach { c =>
-      val numRate = Cleaners.numericTextRate(df, c)
-      val boolRate = Cleaners.booleanTokenRate(df, c)
-      if (boolRate >= config.coerceBooleanThreshold) {
+      if (rate(s"$c::bool") >= config.coerceBooleanThreshold) {
         out = out.withColumn(c, Cleaners.coerceBoolean(col(c)))
         decisions += s"$c->boolean"
-      } else if (numRate >= math.max(config.coerceNumericThreshold, 0.5)) {
+      } else if (rate(s"$c::num") >= math.max(config.coerceNumericThreshold, 0.5)) {
         // reference uses 10% to *attempt* but only keeps on success;
         // ≥50% match keeps the conversion meaningful
         out = out.withColumn(c, Cleaners.coerceNumeric(col(c)))
         decisions += s"$c->double"
-      } else {
-        // datetime detection: ≥30% parseable (detect_types.py:314)
-        val parseRate = {
-          val r = df.filter(col(c).isNotNull).limit(100)
-            .agg(avg(Cleaners.parseDateMulti(col(c)).isNotNull.cast("double"))).collect()(0)
-          if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-        }
-        if (parseRate >= 0.3) {
-          out = out.withColumn(c, Cleaners.parseDateMulti(col(c)))
-          decisions += s"$c->timestamp"
-        }
+      } else if (rate(s"$c::date") >= 0.3) { // detect_types.py:314
+        out = out.withColumn(c, Cleaners.parseDateMulti(col(c)))
+        decisions += s"$c->timestamp"
       }
     }
-    log("DETECT_TYPES", if (decisions.nonEmpty) StageState.WARN else StageState.PASS,
-      decisions.mkString(","))
-    StageResult(out, StageState.PASS, decisions.mkString(","))
+    val state = if (decisions.nonEmpty) StageState.WARN else StageState.PASS
+    log("DETECT_TYPES", state, decisions.mkString(","))
+    StageResult(out, state, decisions.mkString(","))
   }
 
   /** Stage 3 — CLEAN_DATA (C7/C10): trim + case + null standardization over
@@ -105,12 +126,22 @@ class CleaningPipeline(spark: SparkSession, config: CleanConfig = CleanConfig())
   def cleanData(df: DataFrame): StageResult = {
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     val out = strCols.foldLeft(df) { (d, c) =>
-      d.withColumn(c, Cleaners.standardizeNulls(
-        Cleaners.normalizeCase(col(c), config.caseMode)))
+      // strip_whitespace gates the trim; case mapping applies either way
+      val base =
+        if (config.stripWhitespace) Cleaners.normalizeCase(col(c), config.caseMode)
+        else config.caseMode match {
+          case "upper" => upper(col(c).cast("string"))
+          case "lower" => lower(col(c).cast("string"))
+          case "title" => initcap(col(c).cast("string"))
+          case _ => col(c).cast("string")
+        }
+      val special = if (config.removeSpecialChars) Cleaners.removeSpecialChars(base) else base
+      d.withColumn(c, Cleaners.standardizeNulls(special))
     }
-    log("CLEAN_DATA", if (strCols.nonEmpty) StageState.WARN else StageState.PASS,
+    val state = if (strCols.nonEmpty) StageState.WARN else StageState.PASS
+    log("CLEAN_DATA", state,
       s"normalized ${strCols.length} string cols (case=${config.caseMode})")
-    StageResult(out, StageState.PASS, "")
+    StageResult(out, state, "")
   }
 
   /** Stage 4 — DUPLICATES (`duplicates.py:14-39`): count always; drop only
@@ -137,8 +168,9 @@ class CleaningPipeline(spark: SparkSession, config: CleanConfig = CleanConfig())
     val afterDrop =
       if (config.destructiveRowDeletion) df.filter(!tooMissing) else df
     val out = if (config.imputeMissing) Cleaners.imputeDefaults(afterDrop) else afterDrop
-    log("MISSING_VALUES", StageState.WARN, "median/mode imputation")
-    StageResult(out, StageState.PASS, "")
+    val state = if (config.imputeMissing) StageState.WARN else StageState.PASS
+    log("MISSING_VALUES", state, "median/mode imputation")
+    StageResult(out, state, "")
   }
 
   /** Stage 6 — OUTLIERS (`outliers.py:14-47`): per-numeric-column IQR (or
@@ -176,23 +208,36 @@ class CleaningPipeline(spark: SparkSession, config: CleanConfig = CleanConfig())
         }
       boundsOpt.foreach { case (lo, hi) =>
         val origType = df.schema(c).dataType
-        out = out.withColumn(c, Cleaners.clip(col(c).cast("double"), lo, hi).cast(origType))
+        val mask = col(c).cast("double") < lo || col(c).cast("double") > hi
+        config.outlierStrategy match { // C19: cap | remove | mark
+          case "remove" => out = out.filter(!coalesce(mask, lit(false)))
+          case "mark" => out = out.withColumn(s"${c}_is_outlier", coalesce(mask, lit(false)))
+          case _ => out = out.withColumn(c,
+            Cleaners.clip(col(c).cast("double"), lo, hi).cast(origType))
+        }
         clipped += c
       }
     }
-    log("OUTLIERS", if (clipped.nonEmpty) StageState.WARN else StageState.PASS,
-      s"clipped: ${clipped.mkString(",")}")
-    StageResult(out, StageState.PASS, "")
+    val state = if (clipped.nonEmpty) StageState.WARN else StageState.PASS
+    log("OUTLIERS", state,
+      s"${config.outlierStrategy}: ${clipped.mkString(",")}")
+    StageResult(out, state, "")
   }
 
-  /** Full pipeline in canonical order, fail-fast (`lifecycle.py:29-59`). */
+  /** Full pipeline in canonical order, fail-fast, per-stage enable flags from
+    * config (`lifecycle.py:29-59`; stage keys as in config/default.yaml). */
   def run(df: DataFrame): (DataFrame, StageState.Value) = {
-    val stages: Seq[DataFrame => StageResult] = Seq(
-      schemaCheck, detectTypes, cleanData, duplicates, missingValues, outliers)
+    val stages: Seq[(String, DataFrame => StageResult)] = Seq(
+      "enforce_schema" -> (schemaCheck _),
+      "detect_types" -> (detectTypes _),
+      "clean_text" -> (cleanData _),
+      "deduplicate" -> (duplicates _),
+      "handle_missing" -> (missingValues _),
+      "handle_outliers" -> (outliers _))
     var cur = df
     var worst = StageState.PASS
-    stages.foreach { st =>
-      if (worst != StageState.FAIL) {
+    stages.foreach { case (name, st) =>
+      if (worst != StageState.FAIL && config.stageEnabled.getOrElse(name, true)) {
         val r = st(cur)
         cur = r.df
         if (r.state.id > worst.id) worst = r.state

@@ -47,15 +47,33 @@ object RuleGenerator {
     val rows = profiles.values.headOption.map(p => p.count + p.nulls).getOrElse(0L)
     val hasDups = Profiler.duplicateRowCount(df) > 0
 
-    // Excel-serial rate per string/numeric column (one extra agg only for
-    // plausible columns), used by the serial heuristic + DOB/AGE quality alert
+    // ONE extra agg: Excel-serial rate per column (serial heuristic + DOB/AGE
+    // quality alert) + IQR outlier counts for the A24 penalty — bounds come
+    // free from the profile quantiles, so no additional scan is needed
+    val iqrBounds: Map[String, (Double, Double)] = profiles.collect {
+      case (c, p) if df.schema(c).dataType.isInstanceOf[NumericType] &&
+        p.q25.isDefined && p.q75.isDefined =>
+        val iqr = p.q75.get - p.q25.get
+        c -> (p.q25.get - 1.5 * iqr, p.q75.get + 1.5 * iqr)
+    }.toMap
     val serialCandidates = df.schema.fields.map(_.name)
     val serialAggs = serialCandidates.map(c =>
-      avg(Cleaners.excelSerialToDate(col(c)).isNotNull.cast("double")).as(c))
+      avg(Cleaners.excelSerialToDate(col(c)).isNotNull.cast("double")).as(c)) ++
+      iqrBounds.toSeq.map { case (c, (lo, hi)) =>
+        sum((col(c).cast("double") < lo || col(c).cast("double") > hi)
+          .cast("long")).as(s"$c::out")
+      }
     val serialRow = df.agg(serialAggs.head, serialAggs.tail: _*).collect()(0)
     def serialRate(c: String): Double = {
       val i = serialRow.fieldIndex(c)
       if (serialRow.isNullAt(i)) 0.0 else serialRow.getDouble(i)
+    }
+    def outlierCount(c: String): Long = {
+      if (!iqrBounds.contains(c)) 0L
+      else {
+        val i = serialRow.fieldIndex(s"$c::out")
+        if (serialRow.isNullAt(i)) 0L else serialRow.getLong(i)
+      }
     }
 
     val semantic = df.columns.map(c =>
@@ -113,13 +131,14 @@ object RuleGenerator {
         rangeMin, rangeMax, dobSrc, p.nulls)
     }
 
-    // A24 — baseline score (`rule_generator.py:288-305`)
+    // A24 — baseline score (`rule_generator.py:288-305`): outlier penalty is
+    // count-proportional (0.1 per outlier) capped at 5 per column
     val penalty = colRules.map { cr =>
       val p = profiles(cr.column)
       p.nullPct * 0.6 +
         (if (p.isConstant) 3.0 else 0.0) +
         (if (cr.handleOutliers.contains("clip_at_bounds"))
-           math.min(5.0, 1.0) else 0.0) // outlier count folded to the cap path
+           math.min(5.0, outlierCount(cr.column) * 0.1) else 0.0)
     }.sum
     GeneratedRules(hasDups, outlierMethod, alerts, colRules,
       math.max(0.0, math.min(100.0, 100.0 - penalty)))

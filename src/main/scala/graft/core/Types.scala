@@ -85,13 +85,9 @@ object RuleSpec {
   case class SpansNonEmpty(column: String = "spans") extends RuleSpec { val ruleId = "spans_non_empty" }
 }
 
-/** Well-known anchored pattern regexes — byte-for-byte the reference's
-  * (`/root/reference/src/engine/validation_engine.py:45-52`). */
-object Patterns {
-  val Email = "^[\\w\\.-]+@[\\w\\.-]+\\.\\w{2,}$"
-  val Phone = "^\\+?[0-9\\-\\s]{7,15}$"
-  val Url = "^(https?://)?[\\w\\.-]+\\.[a-z]{2,}(/\\S*)?$"
-}
+// NOTE: the actual reference pattern regexes live in graft.rules.Rules.Regexes
+// (a previous dead `Patterns` object here carried DIFFERENT regexes with a
+// doc claiming reference fidelity — deleted to prevent misuse).
 
 /** A violation row: which rule failed, on which document, and the offending
   * span if the rule is span-level (BASELINE `north_star` artifact shape). */

@@ -36,6 +36,25 @@ object Dedup {
       .agg(count(lit(1)).as("dup_count"), min("id").as("keep_id"))
       .where(col("dup_count") > 1)
 
+  /** A9 — key-subset duplicate groups with member ids and a sample record
+    * (`/root/reference/src/utils/helpers.py:322-374`; group hash = md5 of the
+    * concatenated key values, `:358-359`). The member-id list is bounded to
+    * `maxIds` (sorted, deterministic); `sample` is the member row with the
+    * smallest id (min_by — deterministic, unlike first()). At true scale the
+    * id list would be pre-capped with a windowed row_number; the post-agg
+    * slice keeps the reference shape for report-sized outputs. */
+  def keyDupGroupsDetailed(df: DataFrame, keys: Seq[String], idCol: String,
+                           maxIds: Int = 20): DataFrame = {
+    val groupHash = md5(concat_ws("|",
+      keys.map(k => coalesce(col(k).cast("string"), lit("<null>"))): _*))
+    df.withColumn("__gh", groupHash)
+      .groupBy(col("__gh").as("group_hash"))
+      .agg(count(lit(1)).as("dup_count"),
+           slice(sort_array(collect_list(col(idCol))), 1, maxIds).as("ids"),
+           min_by(struct(df.columns.map(col): _*), col(idCol)).as("sample"))
+      .where(col("dup_count") > 1)
+  }
+
   /** Exact dedup: keep one row (min id) per normalized-text group. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String,
                  portable: Boolean = false): DataFrame = {

@@ -176,16 +176,34 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
     (verdicts, allViolations)
   }
 
-  /** Execute + persist artifacts + ledger; resumable entry point. */
+  /** Execute + persist artifacts + ledger; resumable entry point.
+    *
+    * Crash-safety: artifact writes are per-partition IDEMPOTENT — both
+    * outputs are partitioned by `part` and written with dynamic partition
+    * overwrite, so a re-run after a crash between the artifact write and the
+    * ledger append REPLACES the affected partitions instead of appending
+    * duplicates (the round-1 Append mode double-wrote them). The ledger row
+    * is still appended last: a partition is "complete" only once its
+    * artifacts are durably committed. */
   def runAndWrite(docs: DataFrame, assets: Option[DataFrame],
                   outDir: String, resume: Boolean = false,
                   limitParts: Option[Seq[Int]] = None): Unit = {
     val t0 = System.nanoTime()
     val (verdicts, viols) = run(docs, assets, resume, limitParts)
-    val mode = if (resume) SaveMode.Append else SaveMode.Overwrite
-    viols.write.mode(mode).partitionBy("part").parquet(s"$outDir/violations")
-    verdicts.cache()
-    verdicts.write.mode(mode).parquet(s"$outDir/verdicts")
+    // fresh runs truncate everything (static overwrite); resumed/partial runs
+    // replace only the partitions present in this attempt's output
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+      if (resume || limitParts.nonEmpty) "dynamic" else "static")
+    val mode = SaveMode.Overwrite
+    try {
+      viols.write.mode(mode).partitionBy("part").parquet(s"$outDir/violations")
+      verdicts.cache()
+      verdicts.write.mode(mode).partitionBy("part").parquet(s"$outDir/verdicts")
+    } finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
     ledgerPath(config.runId).foreach { lp =>
       val wallMs = (System.nanoTime() - t0) / 1000000
       val ledger = verdicts.select(

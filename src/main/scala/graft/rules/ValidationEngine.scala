@@ -57,9 +57,15 @@ object ValidationEngine {
     val inCols = rules.collect { case BoundRule(InColumn(c, o), _) => (c, o) }.distinct
     inCols.foreach { case (c, o) =>
       val helper = Rules.helperInColumn(c, o)
-      val dict = df.select(col(o).cast("string").as("__dict_val")).distinct()
+      // pandas `isin` treats NaN as matching NaN in the other column
+      // (`validation_engine.py:59`): join on a null-coalesced sentinel so a
+      // null value passes iff the other column contains a null
+      val sentinel = "\u0000<null>"
+      val dict = df.select(coalesce(col(o).cast("string"), lit(sentinel))
+          .as("__dict_val")).distinct()
         .withColumn(helper, lit(true))
-      out = out.join(dict, out(c).cast("string") === dict("__dict_val"), "left")
+      out = out.join(dict,
+        coalesce(out(c).cast("string"), lit(sentinel)) === dict("__dict_val"), "left")
         .drop("__dict_val")
     }
     out

@@ -33,7 +33,10 @@ object Drift {
                 column: String, importance: Double = 1.0): MeanShift = {
     val tol = 0.15 * baseStd / (importance + 0.1)
     val dev = math.abs(curMean - baseMean)
-    val penalty = if (dev > tol && baseStd > 0) math.min(dev / baseStd, 3.0) else 0.0
+    // penalty per quality_report.py:130-134: (Δ/σ)·5·importance, importance
+    // supplied by the A15 fold (Importance.fromProfile), not a constant
+    val penalty =
+      if (dev > tol) dev / (baseStd + 1e-9) * 5.0 * importance else 0.0
     MeanShift(column, baseMean, curMean, tol, dev > tol, penalty)
   }
 

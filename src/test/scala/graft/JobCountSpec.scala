@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.clean.{CleanConfig, CleaningPipeline}
+import graft.stats.{Metrics, Profiler}
+
+/**
+ * Plan-shape guards (VERDICT r01 "batch the per-column scans"): the
+ * per-column stat passes must stay O(1) Spark jobs, not O(columns). Jobs are
+ * counted via job groups + statusTracker — a listener-free, race-free count.
+ */
+class JobCountSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jobs(body: => Unit): Int = {
+    val group = s"jc-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, "job-count probe")
+    try body finally spark.sparkContext.clearJobGroup()
+    spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+  }
+
+  private val wide = (1 to 200).map(i =>
+    (i, i * 2.0, i * 3.0, i * 5.0, s"s$i", if (i % 3 == 0) "yes" else "no",
+     s"2024-01-${i % 28 + 1}"))
+    .toDF("a", "b", "c", "d", "s1", "s2", "s3")
+
+  test("detectTypes: one sample + one agg, not 3 jobs per string column") {
+    val pipe = new CleaningPipeline(spark, CleanConfig())
+    val n = jobs { pipe.detectTypes(wide) }
+    assert(n <= 3, s"detectTypes ran $n jobs (3 string cols would cost ~9 in the per-column shape)")
+  }
+
+  test("correlationPairs: all 6 pairs in one agg pass") {
+    val n = jobs { Profiler.correlationPairs(wide) }
+    assert(n <= 2, s"correlationPairs ran $n jobs for 6 pairs")
+  }
+
+  test("Metrics.accuracy: one agg over the join, not one per shared column") {
+    // AQE splits the join into a constant few jobs; the per-column shape
+    // would add ~3 jobs PER shared column on top
+    val ref = wide.select($"a", ($"b" + 1).as("b"), $"c", $"d")
+    val n = jobs { Metrics.accuracy(wide, ref, "a") }
+    assert(n <= 4, s"accuracy ran $n jobs for 3 shared columns")
+  }
+
+  test("Metrics.uniqueness: HLL path avoids the Expand multi-distinct plan") {
+    // N exact countDistincts in one agg compile to Expand (input ×N rows);
+    // the approx_count_distinct default is a plain partial hash-agg
+    val exactAggs = wide.columns.map(c => countDistinct(col(c)))
+    val exactPlan = wide.agg(exactAggs.head, exactAggs.tail: _*)
+      .queryExecution.optimizedPlan.toString
+    assert(exactPlan.contains("Expand"), "sanity: exact multi-distinct should Expand")
+    val hllAggs = wide.columns.map(c => approx_count_distinct(col(c)))
+    val hllPlan = wide.agg(hllAggs.head, hllAggs.tail: _*)
+      .queryExecution.optimizedPlan.toString
+    assert(!hllPlan.contains("Expand"), "HLL distinct must not Expand")
+    val n = jobs { Metrics.uniqueness(wide) }
+    assert(n <= 6, s"uniqueness ran $n jobs (should be 2 aggs + AQE stages)")
+  }
+}
