@@ -73,13 +73,17 @@ object ScalingBench {
       verdicts.write.format("noop").mode("overwrite").save()
       viols.unpersist()
       // 2) content rules over the interleaved text (full-suite analogue):
-      //    token stats, quality inputs, fingerprint, minhash + simhash
-      val text = concat_ws(" ",
-        expr("transform(filter(spans, s -> s.text IS NOT NULL), s -> s.text)"))
+      //    token stats, quality inputs, fingerprint, minhash + simhash.
+      //    Text extraction is the tight-loop SpanTextConcat (the interpreted
+      //    filter→transform→concat_ws HOF tree dominated this stage's CPU),
+      //    materialized by a FIRST projection so the three stat expressions
+      //    share it (CodegenFallback children don't share subexpressions).
       docs.select(col("doc_id"), col("part"),
-          graft.functions.F.tokenStats(text).as("ts"),
-          graft.functions.F.minhashSig(text, 8, 3, portable = false).as("mh"),
-          graft.functions.F.simhash(text, 32, portable = false).as("sh"))
+          graft.functions.F.spanText(col("spans")).as("text"))
+        .select(col("doc_id"), col("part"),
+          graft.functions.F.tokenStats(col("text")).as("ts"),
+          graft.functions.F.minhashSig(col("text"), 8, 3, portable = false).as("mh"),
+          graft.functions.F.simhash(col("text"), 32, portable = false).as("sh"))
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       val (gcSec, cpuSec) = ((gcMs - gc0) / 1e3, (cpuNs - cpu0) / 1e9)

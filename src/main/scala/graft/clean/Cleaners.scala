@@ -177,6 +177,61 @@ object Cleaners {
     withTs
   }
 
+  /** C17 — coercion-aware imputation (`dynamic_cleaner.py:209-266`): the
+    * strategy is chosen by CONTENT, not dtype — numeric-median when ≥60% of
+    * non-null values coerce to numbers, else date-median (computed via int64
+    * seconds, `:231-238`) when ≥60% parse as dates/serials, else mode.
+    * Costs one rate agg + one median agg + bounded mode lookups. String
+    * columns receive the median's canonical string form ("2.0" / ISO date). */
+  def imputeCoercionAware(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val targets = if (cols.isEmpty) df.columns.toSeq else cols
+    if (targets.isEmpty) return df
+    val rateAggs = targets.flatMap { c => Seq(
+      avg(when(col(c).isNotNull, coerceNumeric(col(c)).isNotNull.cast("double")))
+        .as(s"$c::num"),
+      avg(when(col(c).isNotNull, parseDateOrSerial(col(c)).isNotNull.cast("double")))
+        .as(s"$c::dt"),
+      sum(col(c).isNull.cast("long")).as(s"$c::nulls")) }
+    val r = df.agg(rateAggs.head, rateAggs.tail: _*).collect()(0)
+    def rate(k: String) = { val i = r.fieldIndex(k); if (r.isNullAt(i)) 0.0 else r.getDouble(i) }
+    def nNulls(c: String) = r.getAs[Long](s"$c::nulls")
+    val missing = targets.filter(c => nNulls(c) > 0)
+    val numeric = missing.filter(c => rate(s"$c::num") >= 0.6)
+    val dates = missing.filterNot(numeric.contains)
+      .filter(c => rate(s"$c::dt") >= 0.6)
+    val byMode = missing.filterNot(c => numeric.contains(c) || dates.contains(c))
+    var out = df
+    if (numeric.nonEmpty || dates.nonEmpty) {
+      val medAggs =
+        numeric.map(c => percentile_approx(coerceNumeric(col(c)), lit(0.5),
+          lit(10000)).as(s"$c::m")) ++
+        dates.map(c => percentile_approx(
+          unix_timestamp(parseDateOrSerial(col(c))).cast("double"), lit(0.5),
+          lit(10000)).as(s"$c::m"))
+      val m = df.agg(medAggs.head, medAggs.tail: _*).collect()(0)
+      numeric.foreach { c =>
+        val i = m.fieldIndex(s"$c::m")
+        if (!m.isNullAt(i))
+          out = out.withColumn(c, coalesce(col(c),
+            lit(m.getDouble(i)).cast(out.schema(c).dataType)))
+      }
+      dates.foreach { c =>
+        val i = m.fieldIndex(s"$c::m")
+        if (!m.isNullAt(i)) {
+          val ts = to_timestamp(from_unixtime(lit(m.getDouble(i).toLong)))
+          val fill =
+            if (out.schema(c).dataType == StringType) date_format(ts, "yyyy-MM-dd")
+            else ts.cast(out.schema(c).dataType)
+          out = out.withColumn(c, coalesce(col(c), fill))
+        }
+      }
+    }
+    byMode.foreach { c =>
+      Profiler.mode(out, c).foreach(v => out = out.na.fill(Map(c -> v.toString)))
+    }
+    out
+  }
+
   /** W1 — forward fill over an explicit order (partition keys keep windows
     * bounded at scale; an unpartitioned ffill is a single-task sort). */
   def forwardFill(df: DataFrame, c: String, orderCol: String,

@@ -23,7 +23,8 @@ object RuleGenerator {
       handleOutliers: Option[String], stripWhitespace: Boolean,
       removeSpecialChars: Boolean, convertToDatetime: Boolean,
       rangeMin: Option[Double], rangeMax: Option[Double],
-      dobSourceColumn: Option[String], missingCount: Long)
+      dobSourceColumn: Option[String], missingCount: Long,
+      importanceScore: Double = 0.5) // A15 (`rule_generator.py:74-90`)
 
   case class GeneratedRules(removeDuplicates: Boolean, outlierMethod: String,
                             qualityAlerts: Seq[String],
@@ -128,7 +129,8 @@ object RuleGenerator {
         stripWhitespace = isString && handleSem.isEmpty,
         removeSpecialChars = false,
         convertToDatetime = st == "DOB",
-        rangeMin, rangeMax, dobSrc, p.nulls)
+        rangeMin, rangeMax, dobSrc, p.nulls,
+        importanceScore = graft.stats.Importance.fromProfile(p))
     }
 
     // A24 — baseline score (`rule_generator.py:288-305`): outlier penalty is

@@ -510,6 +510,34 @@ case class WordShingles(child: Expression, k: Int, distinct: Boolean)
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
+/** Interleaved-doc text extraction in ONE pass: the text fields of all spans
+  * joined by single spaces — identical to
+  * `concat_ws(" ", transform(filter(spans, s -> s.text IS NOT NULL), s -> s.text))`,
+  * whose interpreted HOF tree (SimpleHigherOrderFunction.eval + boxed array
+  * copies) dominated the content-pass profile at bench scale. Null/empty
+  * spans → empty string (concat_ws semantics). */
+case class SpanTextConcat(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  @transient private lazy val sep = UTF8String.fromString(" ")
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return UTF8String.EMPTY_UTF8
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val parts = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 4)
+      if (row != null && !row.isNullAt(1)) parts.add(row.getUTF8String(1))
+      i += 1
+    }
+    UTF8String.concatWs(sep, parts.toArray(new Array[UTF8String](parts.size())): _*)
+  }
+  override protected def withNewChildInternal(c: Expression): SpanTextConcat = copy(c)
+}
+
 /** Primitive-loop dot product over two array<float>/array<double> columns,
   * accumulating in double in array order (same as the HOF formulation). */
 case class DotProduct(left: Expression, right: Expression)
@@ -543,6 +571,7 @@ object F {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
   private def e(c: Column) = expression(c)
   def spanChecks(c: Column): Column = column(SpanChecks(e(c)))
+  def spanText(c: Column): Column = column(SpanTextConcat(e(c)))
   def tokenStats(c: Column, stopwords: Seq[String] = graft.text.Text.Stopwords.values.flatten.toSeq.distinct): Column =
     column(TokenStats(e(c), stopwords))
   def minhashSig(c: Column, k: Int, shingleK: Int, portable: Boolean): Column =

@@ -369,7 +369,8 @@ object Scorer {
 object SemanticPipeline {
   case class Result(cleaned: DataFrame, typeMap: Map[String, TypeMetadata],
                     issuesBefore: Seq[ValidationIssue], issuesAfter: Seq[ValidationIssue],
-                    scoreBefore: Scorer.ScoreResult, scoreAfter: Scorer.ScoreResult)
+                    scoreBefore: Scorer.ScoreResult, scoreAfter: Scorer.ScoreResult,
+                    changeLogs: Seq[ChangeLog] = Nil)
 
   def process(df: DataFrame, runTs: java.sql.Timestamp =
                 java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
@@ -378,11 +379,58 @@ object SemanticPipeline {
     val total = df.count()
     val before = SemanticValidators.validate(df, typeMap, runTs)
     val sBefore = Scorer.score(total, before)
-    val cleaned = typeMap.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, meta)) =>
-      SemanticCleaners.forType(c, meta.detectedType, region)
-        .map(t => d.withColumn(c, t)).getOrElse(d)
-    }
+    val transforms = typeMap.toSeq.sortBy(_._1).flatMap { case (c, meta) =>
+      SemanticCleaners.forType(c, meta.detectedType, region).map(t => (c, meta, t)) }
+    val cleaned = transforms.foldLeft(df) { case (d, (c, _, t)) => d.withColumn(c, t) }
+    // ChangeLog per cleaned column (`types.py:37-42`, `cleaner.py` returns
+    // one per operation): rows_changed = cells whose string form changed —
+    // ONE agg over the input evaluating old vs new expression per column
+    val changeLogs: Seq[ChangeLog] =
+      if (transforms.isEmpty) Nil
+      else {
+        val sentinel = " ∅"
+        val aggs = transforms.map { case (c, _, t) =>
+          sum((coalesce(col(c).cast("string"), lit(sentinel)) =!=
+               coalesce(t.cast("string"), lit(sentinel))).cast("long")).as(c) }
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        transforms.map { case (c, meta, _) =>
+          val i = row.fieldIndex(c)
+          ChangeLog(c, s"clean_${meta.detectedType.toString.toLowerCase}",
+            if (row.isNullAt(i)) 0L else row.getLong(i), Nil)
+        }.filter(_.rows_changed > 0)
+      }
     val after = SemanticValidators.validate(cleaned, typeMap, runTs)
-    Result(cleaned, typeMap, before, after, sBefore, Scorer.score(total, after))
+    Result(cleaned, typeMap, before, after, sBefore, Scorer.score(total, after),
+      changeLogs)
+  }
+
+  /** The EP3 report artifact, matching `report_demo_data.json`'s shape:
+    * detected_types → initial_quality (score + breakdown + issues) →
+    * cleaning_logs → final_quality. */
+  def reportJson(r: Result): String = {
+    import graft.stats.RunReportJson.enc
+    import scala.collection.immutable.ListMap
+    def scoreMap(s: Scorer.ScoreResult): Map[String, Any] = ListMap(
+      "score" -> s.score, "penalty_total" -> s.penaltyTotal,
+      "breakdown" -> s.breakdown.map(l => ListMap(
+        "rule" -> l.rule, "severity" -> l.severity, "rows" -> l.rows,
+        "penalty" -> l.penalty)))
+    def issueMap(i: ValidationIssue): Map[String, Any] = ListMap(
+      "column" -> i.column, "detected_type" -> s"ColumnType.${i.detected_type}",
+      "severity" -> i.severity, "rule_id" -> i.rule_id, "message" -> i.message,
+      "rows_affected" -> i.rows_affected, "examples" -> i.examples,
+      "suggested_fix" -> i.suggested_fix)
+    def quality(issues: Seq[ValidationIssue], s: Scorer.ScoreResult) = ListMap(
+      "score" -> scoreMap(s), "issue_count" -> issues.size,
+      "issues" -> issues.map(issueMap))
+    enc(ListMap(
+      "detected_types" -> r.typeMap.toSeq.sortBy(_._1).map { case (c, m) =>
+        c -> ListMap("type" -> m.detectedType.toString,
+          "confidence" -> m.confidence) }.toMap,
+      "initial_quality" -> quality(r.issuesBefore, r.scoreBefore),
+      "cleaning_logs" -> r.changeLogs.map(l => ListMap(
+        "column" -> l.column, "operation" -> l.operation,
+        "rows_changed" -> l.rows_changed, "examples" -> l.examples)),
+      "final_quality" -> quality(r.issuesAfter, r.scoreAfter)))
   }
 }

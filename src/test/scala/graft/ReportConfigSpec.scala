@@ -149,6 +149,54 @@ class ReportConfigSpec extends SparkSpec {
     assert(byRule("allowed_values(dept)") === 3) // case-sensitive enum: IT/Sales/HR all fail
   }
 
+  test("C17 coercion-aware imputation: numeric-median / date-median / mode by content") {
+    val df = Seq(
+      (Some("1"), Some("2020-01-01"), Some("a")),
+      (Some("2"), None, Some("a")),
+      (None, Some("2020-01-03"), None),
+      (Some("3"), Some("2020-01-05"), Some("b")),
+      (Some("100"), Some("2020-01-07"), Some("c")))
+      .toDF("num_text", "date_text", "cat")
+    val out = graft.clean.Cleaners.imputeCoercionAware(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(out.forall(t => t._1 != null && t._2 != null && t._3 != null))
+    assert(out.map(_._1).contains("2.5") || out.map(_._1).contains("2.0")) // median of 1,2,3,100
+    assert(out(1)._2.startsWith("2020-01")) // date median filled as ISO
+    assert(out(2)._3 === "a")               // mode fill
+  }
+
+  test("EP3 semantic report JSON matches report_demo_data.json's shape") {
+    val r = graft.semantic.SemanticPipeline.process(Fixtures.people(spark))
+    val json = graft.semantic.SemanticPipeline.reportJson(r)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(node.path("detected_types").path("Email").path("type").asText === "EMAIL")
+    assert(node.path("detected_types").path("Email").path("confidence").isNumber)
+    // 6 issues, penalty-capped score 42.51 (breakdown pinned by the q36 oracle)
+    assert(node.path("initial_quality").path("issue_count").asInt === 6)
+    assert(node.path("initial_quality").path("score").path("score").asDouble === 42.51)
+    assert(node.path("initial_quality").path("score").path("breakdown").size === 6)
+    assert(node.path("cleaning_logs").isArray && node.path("cleaning_logs").size > 0)
+    // final quality re-validates with the same rules; on this fixture the
+    // score legitimately DROPS (cleaning converts serial DOBs to parseable
+    // dates, exposing CROSS_DOB_AGE mismatches that were invisible before)
+    val finalScore = node.path("final_quality").path("score").path("score").asDouble
+    assert(finalScore >= 0.0 && finalScore <= 100.0)
+    assert(node.path("final_quality").path("issue_count").asInt >= 1)
+    val ops = (0 until node.path("cleaning_logs").size)
+      .map(i => node.path("cleaning_logs").get(i).path("operation").asText)
+    assert(ops.contains("clean_date_of_birth"))
+  }
+
+  test("SpanTextConcat equals the HOF formulation over the golden docs") {
+    val docs = Fixtures.goldenDocsDf(spark)
+    val hof = docs.select(concat_ws(" ",
+      expr("transform(filter(spans, s -> s.text IS NOT NULL), s -> s.text)")).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    val fast = docs.select(graft.functions.F.spanText(col("spans")).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(fast === hof)
+  }
+
   test("C14 conflict counting + A9 duplicate-group details") {
     val df = Seq((1, "a", "a", 9), (2, "b", "x", 9), (3, null: String, "c", 8))
       .toDF("id", "v", "v_1", "n")
