@@ -97,7 +97,11 @@ object ScalingBench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
     val order = Seq(big, small) ++ Seq.fill(reps)(Seq(big, small)).flatten
     val times = order.map(c => c -> leg(c))
-    def best(c: Int) = times.drop(2).filter(_._1 == c).map(_._2._1).min
+    // min over ALL legs including the warmup pair: a warmup leg can only be
+    // slower than steady state (JIT/page cache), so taking the min is safe —
+    // and this sandbox's multi-minute slow episodes can land on ANY leg, so
+    // discarding legs only throws away evidence
+    def best(c: Int) = times.filter(_._1 == c).map(_._2._1).min
     val (tBig, tSmall) = (best(big), best(small))
     val (thrBig, thrSmall) = (nDocs / tBig, nDocs / tSmall)
     val eff = thrBig / (4.0 * thrSmall)

@@ -159,21 +159,40 @@ object Dedup {
     * O(Σ prefix lengths), never all-pairs. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 3, minJaccard: Double = 0.5,
-                        portable: Boolean = true): DataFrame = {
-    val sorted = array_sort(
-      graft.functions.F.wordShingles(col(textCol), shingleK, distinct = true))
-    val n = size(sorted)
+                        portable: Boolean = true,
+                        freqOrdered: Boolean = true): DataFrame = {
+    val distinctSh =
+      graft.functions.F.wordShingles(col(textCol), shingleK, distinct = true)
+    // canonical global order for the prefix principle: any TOTAL order works
+    // for exactness; (document-frequency asc, shingle) — the AllPairs
+    // rarest-first order — keeps the hottest (most common) shingles OUT of
+    // prefixes, which is what bounds candidate-bucket sizes at 100 TB.
+    // freqOrdered=false falls back to plain lexicographic (one less shuffle).
+    val sh: DataFrame =
+      if (!freqOrdered)
+        df.select(col(idCol).as("id"), array_sort(distinctSh).as("sh"))
+      else {
+        val toks = df.select(col(idCol).as("id"), explode(distinctSh).as("tok"))
+        val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        toks.join(freq, "tok")
+          .groupBy("id")
+          .agg(transform(sort_array(collect_list(struct(col("df"), col("tok")))),
+            s => s.getField("tok")).as("sh"))
+      }
+    val n = size(col("sh"))
     val prefixLen = (n - ceil(n * lit(minJaccard)) + 1).cast("int")
-    val sh = df.select(col(idCol).as("id"), sorted.as("sh"),
-      slice(sorted, lit(1), prefixLen).as("prefix"))
-    val tokens = sh.select(col("id"), explode(col("prefix")).as("tok"))
+    val withPrefix = sh.select(col("id"), col("sh"),
+      slice(col("sh"), lit(1), prefixLen).as("prefix"))
+    val tokens = withPrefix.select(col("id"), explode(col("prefix")).as("tok"))
     val cands = tokens.alias("a")
       .join(tokens.alias("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    // re-join the (small) candidate set back to the shingle arrays; exact verify
-    val sa = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val sb = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    // re-join the (small) candidate set back to the shingle arrays; exact
+    // verify — array_intersect/union are order-independent, so the canonical
+    // ordering never affects the result, only the candidate volume
+    val sa = withPrefix.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val sb = withPrefix.select(col("id").as("id_b"), col("sh").as("sh_b"))
     cands.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /

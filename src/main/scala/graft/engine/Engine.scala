@@ -33,11 +33,14 @@ object UniquenessCheck {
       .where(col("dup_count") > 1)
 
   /** Violation rows for duplicated keys: left-semi join of the docs table
-    * against the (small) duplicate-key set. */
+    * against the duplicate-key set. The set scales with the duplication RATE
+    * (≈1 M keys at 40 M docs on the bench fixture), so it is hash-joined on
+    * the shuffled key — a forced broadcast would collect it to the driver
+    * and build the hash relation single-threaded. */
   def violations(df: DataFrame, key: String, partCol: String,
                  ruleId: String = "unique(doc_id)"): DataFrame = {
     val dups = duplicateKeys(df, key)
-    df.join(dups.select(col(key)).hint("broadcast"), Seq(key), "left_semi")
+    df.join(dups.select(col(key)).hint("shuffle_hash"), Seq(key), "left_semi")
       .select(lit(ruleId).as("rule_id"), col(key).cast("string").as("doc_id"),
               col(partCol).cast("int").as("part"),
               lit(null).cast("int").as("span_offset"),
@@ -155,13 +158,15 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
     val failedPerPart = todo
       .select(coalesce($"doc_id".cast("string"), lit(nullKey)).as("__k"),
               $"part".cast("int").as("part"))
-      // The violating-key set is usually orders of magnitude smaller than
-      // the table, and a shuffled semi-join here moves EVERY doc row — but a
-      // forced broadcast degrades when violation rates are high (a 200 MB
-      // hash relation builds single-threaded). Leave the choice to AQE: with
-      // `spark.sql.adaptive.autoBroadcastJoinThreshold` sized generously the
-      // runtime converts to broadcast exactly when the key set is small.
-      .join(badKeys, Seq("__k", "part"), "left_semi")
+      // The violating-key set scales with the violation RATE (millions of
+      // rows at 40 M docs / 8% dirt), so its size is unbounded — never let
+      // the planner broadcast it. Round 1 left this to AQE "sized
+      // generously"; profiling showed the estimate hovering around the
+      // threshold, and legs where AQE picked broadcast built a multi-million
+      // row hash relation single-threaded (10× wall, 45× GC — the bimodal
+      // bench episodes). SHUFFLE_HASH pins the scale-correct plan: hash-join
+      // on the shuffled key, no sort, no driver-side relation.
+      .join(badKeys.hint("shuffle_hash"), Seq("__k", "part"), "left_semi")
       .groupBy("part").agg(count(lit(1)).as("failed_docs"))
     val totals = todo.groupBy($"part".cast("int").as("part"))
       .agg(count(lit(1)).as("total_rows"))
