@@ -181,12 +181,17 @@ object Dedup {
       }
     val n = size(col("sh"))
     val prefixLen = (n - ceil(n * lit(minJaccard)) + 1).cast("int")
-    val withPrefix = sh.select(col("id"), col("sh"),
+    val withPrefix = sh.select(col("id"), col("sh"), n.as("n"),
       slice(col("sh"), lit(1), prefixLen).as("prefix"))
-    val tokens = withPrefix.select(col("id"), explode(col("prefix")).as("tok"))
+    val tokens = withPrefix.select(col("id"), col("n"), explode(col("prefix")).as("tok"))
+    // length filter (exactness-preserving): J ≥ t ⇒ |∩| ≥ t·|∪| ≥ t·max(|a|,|b|)
+    // and |∩| ≤ min(|a|,|b|), so min ≥ t·max — prunes size-mismatched pairs
+    // before the distinct/verify stages
     val cands = tokens.alias("a")
       .join(tokens.alias("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            greatest(col("a.n"), col("b.n")) * minJaccard)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     // re-join the (small) candidate set back to the shingle arrays; exact
     // verify — array_intersect/union are order-independent, so the canonical
