@@ -12,10 +12,57 @@ import graft.clean.Cleaners
  */
 object Sources {
 
+  /** S2 — encoding detection (chardet analogue,
+    * `/root/reference/src/utils/file_loader.py:470-508`): a driver-side sniff
+    * of the head bytes — BOM signatures first, then a UTF-8 validity scan,
+    * falling back to latin-1 (which accepts any byte stream, like the
+    * reference's final fallback). Confidence mirrors chardet's contract. */
+  case class SniffedEncoding(encoding: String, confidence: Double)
+  def sniffEncoding(path: String, sampleBytes: Int = 64 * 1024): SniffedEncoding = {
+    val in = new java.io.FileInputStream(path)
+    val buf = try {
+      val b = new Array[Byte](sampleBytes)
+      val n = math.max(in.read(b), 0)
+      java.util.Arrays.copyOf(b, n)
+    } finally in.close()
+    def startsWith(sig: Int*) =
+      buf.length >= sig.length && sig.indices.forall(i => (buf(i) & 0xff) == sig(i))
+    if (startsWith(0xEF, 0xBB, 0xBF)) SniffedEncoding("UTF-8", 1.0)
+    else if (startsWith(0xFF, 0xFE)) SniffedEncoding("UTF-16LE", 1.0)
+    else if (startsWith(0xFE, 0xFF)) SniffedEncoding("UTF-16BE", 1.0)
+    else {
+      // UTF-8 validity scan: every multi-byte lead must be followed by the
+      // right number of continuation bytes
+      var i = 0; var valid = true; var sawMulti = false
+      while (valid && i < buf.length) {
+        val b = buf(i) & 0xff
+        val cont = if (b < 0x80) 0
+          else if (b >= 0xC2 && b <= 0xDF) 1
+          else if (b >= 0xE0 && b <= 0xEF) 2
+          else if (b >= 0xF0 && b <= 0xF4) 3
+          else -1
+        if (cont < 0) valid = false
+        else {
+          if (cont > 0) sawMulti = true
+          var j = 1
+          while (valid && j <= cont) {
+            if (i + j >= buf.length) () // truncated tail: benign
+            else if ((buf(i + j) & 0xC0) != 0x80) valid = false
+            j += 1
+          }
+          i += cont + 1
+        }
+      }
+      if (valid) SniffedEncoding("UTF-8", if (sawMulti) 0.99 else 0.75)
+      else SniffedEncoding("ISO-8859-1", 0.5)
+    }
+  }
+
   /** S1/S3 — CSV with the reference's resilience knobs: header, permissive
     * parsing, optional delimiter; delimiter sniffing happens driver-side on a
     * head sample when `sniffDelimiter` (csv.Sniffer analogue:
-    * `/root/reference/src/utils/file_loader.py:511-567`). */
+    * `/root/reference/src/utils/file_loader.py:511-567`). Pass
+    * `encoding = sniffEncoding(path).encoding` to chain S2 → S1. */
   def csv(spark: SparkSession, path: String, delimiter: Option[String] = None,
           encoding: String = "UTF-8", sniffDelimiter: Boolean = false): DataFrame = {
     val sep = delimiter.orElse {

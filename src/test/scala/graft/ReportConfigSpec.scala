@@ -187,6 +187,24 @@ class ReportConfigSpec extends SparkSpec {
     assert(ops.contains("clean_date_of_birth"))
   }
 
+  test("S2 encoding sniffer: BOM, UTF-8 validity, latin-1 fallback") {
+    import graft.io.Sources
+    def tmp(bytes: Array[Byte]): String = {
+      val f = java.io.File.createTempFile("enc", ".csv")
+      val o = new java.io.FileOutputStream(f); o.write(bytes); o.close()
+      f.getAbsolutePath
+    }
+    val bom = tmp(Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++ "a,b\n1,2\n".getBytes)
+    assert(Sources.sniffEncoding(bom) === Sources.SniffedEncoding("UTF-8", 1.0))
+    val utf8 = tmp("name,city\nZoé,Genève\n".getBytes("UTF-8"))
+    val s8 = Sources.sniffEncoding(utf8)
+    assert(s8.encoding === "UTF-8" && s8.confidence === 0.99)
+    val ascii = tmp("a,b\n1,2\n".getBytes("US-ASCII"))
+    assert(Sources.sniffEncoding(ascii).encoding === "UTF-8")
+    val latin = tmp("name\nZoé\n".getBytes("ISO-8859-1")) // lone 0xE9 byte
+    assert(Sources.sniffEncoding(latin).encoding === "ISO-8859-1")
+  }
+
   test("SpanTextConcat equals the HOF formulation over the golden docs") {
     val docs = Fixtures.goldenDocsDf(spark)
     val hof = docs.select(concat_ws(" ",
