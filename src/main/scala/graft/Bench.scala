@@ -68,7 +68,9 @@ object Bench {
     // ---- engine throughput: the BASELINE.json headline metric.
     // Docs written to parquet first so the measured pass reads real files.
     val docsPath = s"/tmp/graft_bench_docs_$nDocs"
-    if (!new java.io.File(docsPath).exists()) {
+    // _SUCCESS (not bare dir existence): an interrupted prior write must not
+    // be silently reused as a partial fixture (ADVICE r2)
+    if (!new java.io.File(s"$docsPath/_SUCCESS").exists()) {
       graft.fixtures.Fixtures.docs(spark, nDocs, nParts = 32)
         .write.mode("overwrite").parquet(docsPath)
     }

@@ -457,7 +457,7 @@ object OracleSql {
       s"""SELECT part, doc_id,
          | coalesce(doc_id IS NULL OR trim(doc_id) = '', TRUE) AS v_req,
          | coalesce(spans IS NULL OR len(spans) = 0, TRUE) AS v_empty,
-         | coalesce(len(list_filter(range(2, len(spans)+1), i -> spans[i].offset <= spans[i-1].offset)) > 0, FALSE) AS v_mono,
+         | coalesce(len(list_filter(range(2, len(spans)+1), i -> coalesce(spans[i].offset, -2147483648) <= coalesce(spans[i-1].offset, -2147483648))) > 0, FALSE) AS v_mono,
          | coalesce(len(list_filter(spans, s -> CASE WHEN s.kind = 'text' THEN (s.text IS NULL OR s.media_ref IS NOT NULL) ELSE (s.media_ref IS NULL OR s.text IS NOT NULL) END)) > 0, FALSE) AS v_field,
          | coalesce(len(list_filter(spans, s -> s.media_ref IS NOT NULL AND TRY_CAST(substring(s.media_ref, 7) AS BIGINT) >= 1000)), 0) AS n_dangling
          |FROM $docs""".stripMargin

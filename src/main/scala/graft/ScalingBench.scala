@@ -43,7 +43,8 @@ object ScalingBench {
     // generate once
     locally {
       val s = session(big)
-      if (!new java.io.File(docsPath).exists())
+      // _SUCCESS check so an interrupted prior write regenerates (ADVICE r2)
+      if (!new java.io.File(s"$docsPath/_SUCCESS").exists())
         fixtures.Fixtures.docs(s, nDocs, 32).write.mode("overwrite").parquet(docsPath)
       s.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()

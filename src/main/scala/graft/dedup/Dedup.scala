@@ -126,6 +126,13 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    bits: Int = 32, maxDist: Int = 3,
                    portable: Boolean = true): DataFrame = {
+    // bits must cover maxDist+1 non-empty blocks: width 0 would make the
+    // leading block keys constant (pmod(x,1)=0) and silently degenerate the
+    // bucket join into a full cross join (ADVICE r2). Upper bound 63 keeps
+    // the shift/pmod math inside a signed long.
+    require(bits >= maxDist + 1,
+      s"simhashPairs needs bits ($bits) >= maxDist+1 (${maxDist + 1})")
+    require(bits <= 63, s"simhashPairs supports at most 63 bits, got $bits")
     val nBlocks = maxDist + 1
     val width = bits / nBlocks // last block takes the remainder bits
     val sigs = df.select(col(idCol).as("id"),
@@ -214,6 +221,9 @@ object Dedup {
                         minCos: Double = 0.95, planes: Int = 8): DataFrame = {
     import graft.sim.Similarity
     val dims = Similarity.vecDims(df, vecCol)
+    if (dims == 0) // no usable vectors: empty result, same schema
+      return df.limit(0).select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0).as("cos"))
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("nrm"),
       Similarity.hyperplaneBucket(col(vecCol), planes, dims).as("bucket"))

@@ -58,9 +58,16 @@ object Similarity {
     (0 until planes).map(p => planeBit(v, p, dims) * lit(1L << p)).reduce(_ + _)
 
   /** Embedding dimensionality probe (one-row job; embeddings are fixed-width
-    * per table, so a single row suffices). */
-  def vecDims(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).limit(1).collect()(0).getInt(0)
+    * per table, so a single row suffices). Probes the first row with a
+    * NON-NULL, non-empty vector — a null first row would return -1 and an
+    * empty table would throw, both silently collapsing every row into one
+    * LSH bucket downstream (ADVICE r2). Returns 0 when no usable vector
+    * exists (callers short-circuit to an empty result). */
+  def vecDims(df: DataFrame, vecCol: String): Int = {
+    val r = df.select(size(col(vecCol)).as("d"))
+      .where(col("d") > 0).limit(1).collect()
+    if (r.isEmpty) 0 else r(0).getInt(0)
+  }
 
   /** Exact cosine top-k for each query row. `queries` must be small enough to
     * broadcast (driver hints it); corpus side streams. Deterministic
@@ -91,6 +98,9 @@ object Similarity {
               idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
               k: Int, planes: Int = 8): DataFrame = {
     val dims = vecDims(corpus, vecCol)
+    if (dims == 0) // no usable vectors: empty result, same schema
+      return corpus.limit(0).select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("cos"), lit(0).as("rank"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       sqrt(dot(col(vecCol), col(vecCol))).as("cn"),
       hyperplaneBucket(col(vecCol), planes, dims).as("bucket"))
