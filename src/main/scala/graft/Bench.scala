@@ -90,6 +90,7 @@ object Bench {
       execute(viols)
       execute(verdicts)
       viols.unpersist()
+      run.unpersistAll()
       (System.nanoTime() - t0) / 1e9
     }
     val engineSec = reps.min

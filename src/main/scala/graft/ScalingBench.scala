@@ -73,6 +73,7 @@ object ScalingBench {
       viols.write.format("noop").mode("overwrite").save()
       verdicts.write.format("noop").mode("overwrite").save()
       viols.unpersist()
+      run.unpersistAll()
       // 2) content rules over the interleaved text (full-suite analogue):
       //    token stats, quality inputs, fingerprint, minhash + simhash.
       //    Text extraction is the tight-loop SpanTextConcat (the interpreted

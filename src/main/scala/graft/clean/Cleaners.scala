@@ -155,8 +155,7 @@ object Cleaners {
         numCols.zipWithIndex.collect {
           case (c, i) if !row.isNullAt(i) => c -> row.getDouble(i) }.toMap
       }
-    val modes: Map[String, String] = strCols.flatMap { c =>
-      Profiler.mode(df, c).map(v => c -> v.toString) }.toMap
+    val modes: Map[String, String] = Profiler.modes(df, strCols.toSeq)
     // C17 — date median via int64 seconds (`dynamic_cleaner.py:231-238`)
     val tsCols = df.schema.fields.collect {
       case f if f.dataType == TimestampType => f.name }
@@ -226,9 +225,7 @@ object Cleaners {
         }
       }
     }
-    byMode.foreach { c =>
-      Profiler.mode(out, c).foreach(v => out = out.na.fill(Map(c -> v.toString)))
-    }
+    if (byMode.nonEmpty) out = out.na.fill(Profiler.modes(out, byMode))
     out
   }
 

@@ -72,10 +72,8 @@ object DynamicCleaner {
     }
     val toMode = rules.columns.filter(_.handleMissing.contains("fill_with_mode"))
       .map(_.column).filter(out.columns.contains)
-    toMode.foreach { c =>
-      graft.stats.Profiler.mode(out, c).foreach(v =>
-        out = out.na.fill(Map(c -> v.toString)))
-    }
+    if (toMode.nonEmpty) // one melted agg for ALL mode columns, not one job each
+      out = out.na.fill(graft.stats.Profiler.modes(out, toMode))
     val toClip = rules.columns.filter(_.handleOutliers.contains("clip_at_bounds"))
       .map(_.column)
       .filter(c => out.columns.contains(c) &&

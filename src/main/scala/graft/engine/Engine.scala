@@ -79,7 +79,17 @@ case class EngineConfig(
     checkReferentialIntegrity: Boolean = true,
     uniquenessKey: Option[String] = Some("doc_id"),
     ledgerDir: Option[String] = None,
-    runId: String = "run-0")
+    runId: String = "run-0",
+    /** Persist the narrow per-row annotation (id, part, rule masks) so the
+      * verdict aggregation reuses the rule pass instead of re-scanning the
+      * docs table (~40 B/row, MEMORY_AND_DISK). At extreme scale where even
+      * the narrow frame shouldn't be spilled (10^12 rows ≈ tens of TB), set
+      * false to trade one extra narrow column-pruned scan for zero cache. */
+    persistAnnotations: Boolean = true,
+    /** Numeric expressions sketched per partition into the ledger as KLL
+      * quantile sketches (name → column expr over the docs table), feeding
+      * cross-run drift checks from merged sketches. */
+    sketchExprs: Map[String, org.apache.spark.sql.Column] = Map.empty)
 
 /**
  * Per-partition validation orchestrator (SURVEY §3 EP1/EP2 Spark shape).
@@ -132,10 +142,20 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
     }
     val todo = docs.where(partFilter($"part"))
 
-    // Row-level + span-level rules: one projection pass.
+    // Row-level + span-level rules: ONE projection pass over the docs table,
+    // reduced to the narrow (doc_id, part, masks) shape and persisted so the
+    // violation artifact AND the verdict aggregation both derive from it —
+    // run() touches the docs table exactly 3 times total (rule pass,
+    // uniqueness key scan, RI media-span scan), guarded by GoldenEngineSpec.
     val rowRules = config.rules.filterNot(r =>
       r.spec.isInstanceOf[RuleSpec.Unique]) // Unique handled by salted agg below
-    val rowViolations = ValidationEngine.violations(todo, rowRules, "doc_id", "part")
+    val narrow = ValidationEngine.annotateNarrow(todo, rowRules, "doc_id", "part")
+    val narrowP =
+      if (config.persistAnnotations)
+        narrow.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else narrow
+    lastNarrow = if (config.persistAnnotations) Some(narrowP) else None
+    val rowViolations = ValidationEngine.violationsFromNarrow(narrowP, rowRules)
 
     // Scale-path checks producing extra violation rows.
     val extra = Seq(
@@ -150,14 +170,16 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
     val allViolations = (rowViolations +: extra).reduce(_.unionByName(_)).cache()
 
     // Per-partition verdicts: rows whose (doc_id, part) has ANY violation are
-    // failed. Row-accurate even for null/duplicated ids: a left-semi join on a
-    // null-coalesced key against the (small) distinct violating-key set.
+    // failed. Row-accurate even for null/duplicated ids: a null-coalesced key
+    // joined against the (small) distinct violating-key set, then ONE
+    // aggregate producing totals and failure counts together (r2 ran a
+    // separate totals scan plus a semi-join re-scan of the docs table here).
     val nullKey = "\u0000<null>"
     val badKeys = allViolations
       .select(coalesce($"doc_id", lit(nullKey)).as("__k"), $"part").distinct()
-    val failedPerPart = todo
-      .select(coalesce($"doc_id".cast("string"), lit(nullKey)).as("__k"),
-              $"part".cast("int").as("part"))
+      .withColumn("__hit", lit(true))
+    val verdicts = narrowP
+      .select(coalesce($"doc_id", lit(nullKey)).as("__k"), $"part")
       // The violating-key set scales with the violation RATE (millions of
       // rows at 40 M docs / 8% dirt), so its size is unbounded — never let
       // the planner broadcast it. Round 1 left this to AQE "sized
@@ -166,19 +188,28 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
       // row hash relation single-threaded (10× wall, 45× GC — the bimodal
       // bench episodes). SHUFFLE_HASH pins the scale-correct plan: hash-join
       // on the shuffled key, no sort, no driver-side relation.
-      .join(badKeys.hint("shuffle_hash"), Seq("__k", "part"), "left_semi")
-      .groupBy("part").agg(count(lit(1)).as("failed_docs"))
-    val totals = todo.groupBy($"part".cast("int").as("part"))
-      .agg(count(lit(1)).as("total_rows"))
-    val verdicts = totals.join(failedPerPart, Seq("part"), "left")
+      .join(badKeys.hint("shuffle_hash"), Seq("__k", "part"), "left")
+      .groupBy("part")
+      .agg(count(lit(1)).as("total_rows"),
+           sum(coalesce($"__hit", lit(false)).cast("long")).as("failed_docs"))
       .select($"part",
         $"total_rows",
-        ($"total_rows" - coalesce($"failed_docs", lit(0L))).as("passed"),
-        coalesce($"failed_docs", lit(0L)).as("failed"),
-        when(coalesce($"failed_docs", lit(0L)) > 0, lit("FAIL"))
-          .otherwise(lit("PASS")).as("status"),
+        ($"total_rows" - $"failed_docs").as("passed"),
+        $"failed_docs".as("failed"),
+        when($"failed_docs" > 0, lit("FAIL")).otherwise(lit("PASS")).as("status"),
         lit(config.rules.size + 2).as("rules_evaluated"))
     (verdicts, allViolations)
+  }
+
+  /** The narrow annotation frame persisted by the last [[run]] (exposed for
+    * plan-shape tests); released by [[unpersistAll]]. */
+  private[graft] var lastNarrow: Option[DataFrame] = None
+
+  /** Release every frame persisted by the last [[run]] (callers additionally
+    * unpersist the violations frame they received). */
+  def unpersistAll(): Unit = {
+    lastNarrow.foreach(_.unpersist())
+    lastNarrow = None
   }
 
   /** Execute + persist artifacts + ledger; resumable entry point.
@@ -211,13 +242,18 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
     }
     ledgerPath(config.runId).foreach { lp =>
       val wallMs = (System.nanoTime() - t0) / 1000000
-      val ledger = verdicts.select(
+      // real per-partition violation counts (r2 stubbed this as -1): the
+      // violations frame is cached, so this group-count costs no re-scan
+      val violsPerPart = viols.groupBy($"part".cast("int").as("part"))
+        .agg(count(lit(1)).as("__viol_n"))
+      val ledger = verdicts.join(violsPerPart, Seq("part"), "left").select(
         lit(config.runId).as("run_id"), $"part", $"status",
         $"total_rows", $"failed".as("failed_rows"),
-        lit(-1L).as("violations"), lit(wallMs).as("wall_ms"))
+        coalesce($"__viol_n", lit(0L)).as("violations"), lit(wallMs).as("wall_ms"))
       ledger.write.mode(SaveMode.Append).parquet(lp)
     }
     verdicts.unpersist()
     viols.unpersist()
+    unpersistAll()
   }
 }

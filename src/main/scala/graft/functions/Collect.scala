@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/**
+ * Bounded example collection: keep the `cap` SMALLEST distinct non-null
+ * strings seen. Unlike `collect_list(...)` + `slice` (which accumulates the
+ * whole column per group before truncating), state never exceeds `cap`
+ * values — safe inside a wide aggregate over 10^12 rows. Deterministic under
+ * any partitioning/merge order (min-set is associative + commutative), which
+ * `limit(n)`-style example collection is not.
+ *
+ * Used by the semantic validators to fold per-issue example values into the
+ * single wide agg (reference collects 3 examples per issue —
+ * `/root/reference/src/semantic_pipeline/validator.py:47,60,72`).
+ */
+class CappedMinCollect(cap: Int) extends Aggregator[String, Seq[String], Seq[String]] {
+  require(cap > 0)
+  def zero: Seq[String] = Vector.empty
+  def reduce(b: Seq[String], v: String): Seq[String] =
+    if (v == null || b.contains(v)) b
+    else if (b.size < cap) (b :+ v).sorted
+    else if (v < b.last) (b.init :+ v).sorted
+    else b
+  def merge(a: Seq[String], b: Seq[String]): Seq[String] =
+    (a ++ b).distinct.sorted.take(cap)
+  def finish(s: Seq[String]): Seq[String] = s
+  def bufferEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+  def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+}
+
+object Collect {
+  /** Column aggregate: `cap` smallest distinct non-null values of a string
+    * column (nulls skipped, so `when(mask, col)` collects only masked rows). */
+  def cappedMin(cap: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new CappedMinCollect(cap), Encoders.STRING)
+}

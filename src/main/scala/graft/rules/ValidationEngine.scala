@@ -117,27 +117,48 @@ object ValidationEngine {
     ValidationResult(report, total, total - failed, failed, summary)
   }
 
-  /** Violation table (rule_id, doc_id, part, span_offset, detail) — the north
-    * rule's artifact. One pass: failing rows explode their failing-rule
-    * structs; spans are only inspected for span-level rules. */
-  def violations(df: DataFrame, rules: Seq[BoundRule],
-                 idCol: String, partCol: String): DataFrame = {
+  /** Narrow per-row annotation: `(doc_id, part, _val_status, one mask + one
+    * offending-offset column per rule)` — the minimal row-shape from which
+    * BOTH the violation artifact ([[violationsFromNarrow]]) and the
+    * per-partition verdict aggregation can be derived, so the engine scans
+    * the (wide) docs table ONCE for all row-level rules and caches only these
+    * few bytes per row. */
+  def annotateNarrow(df: DataFrame, rules: Seq[BoundRule],
+                     idCol: String, partCol: String): DataFrame = {
     val annotated = annotate(df, rules)
+    val cols: Seq[Column] =
+      Seq(col(idCol).cast("string").as("doc_id"),
+          col(partCol).cast("int").as("part"), col(StatusCol)) ++
+      rules.zipWithIndex.map { case (_, i) => col(maskCol(i)) } ++
+      rules.zipWithIndex.map { case (r, i) =>
+        offendingOffset(r.spec).as(s"__off_$i") }
+    annotated.select(cols: _*)
+  }
+
+  /** Violation rows from an [[annotateNarrow]] frame: failing rows explode
+    * their failing-rule structs. */
+  def violationsFromNarrow(narrow: DataFrame, rules: Seq[BoundRule]): DataFrame = {
     val perRule: Seq[Column] = rules.zipWithIndex.map { case (r, i) =>
       struct(
         lit(r.spec.ruleId).as("rule_id"),
         col(maskCol(i)).as("failed"),
-        offendingOffset(r.spec).as("span_offset"),
+        col(s"__off_$i").as("span_offset"),
         lit(r.reason).as("detail"))
     }
-    annotated
+    narrow
       .filter(col(StatusCol) === "FAIL")
-      .select(col(idCol).cast("string").as("doc_id"),
-              col(partCol).cast("int").as("part"),
+      .select(col("doc_id"), col("part"),
               explode(filter(array(perRule: _*), v => v.getField("failed"))).as("v"))
       .select(col("v.rule_id").as("rule_id"), col("doc_id"), col("part"),
               col("v.span_offset").as("span_offset"), col("v.detail").as("detail"))
   }
+
+  /** Violation table (rule_id, doc_id, part, span_offset, detail) — the north
+    * rule's artifact. One pass: failing rows explode their failing-rule
+    * structs; spans are only inspected for span-level rules. */
+  def violations(df: DataFrame, rules: Seq[BoundRule],
+                 idCol: String, partCol: String): DataFrame =
+    violationsFromNarrow(annotateNarrow(df, rules, idCol, partCol), rules)
 
   /** Offset of the first offending span for span-level rules; null otherwise
     * (read from the shared SpanChecks helper struct). */

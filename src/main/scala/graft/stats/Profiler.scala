@@ -156,6 +156,25 @@ object Profiler {
   def mode(df: DataFrame, c: String): Option[Any] =
     topK(df.filter(col(c).isNotNull), c, 1).collect().headOption.map(_.get(0))
 
+  /** A7 batched — modes of MANY columns in ONE Spark job (VERDICT r2 item 8:
+    * the per-column [[mode]] loop launched one groupBy job per column).
+    * Columns are melted to (column, value) pairs, counted, and reduced with
+    * `min_by` over (count desc, value asc) — the same tie-break as [[mode]],
+    * except values compare as STRINGS (call sites fill via `na.fill(string)`
+    * anyway; use [[mode]] where numeric tie-break order matters). Columns
+    * that are entirely null are absent from the result. */
+  def modes(df: DataFrame, cols: Seq[String]): Map[String, String] = {
+    if (cols.isEmpty) return Map.empty
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.c").as("c"), col("p.v").as("v"))
+      .where(col("v").isNotNull)
+    pairs.groupBy("c", "v").agg(count(lit(1)).as("n"))
+      .groupBy("c")
+      .agg(min_by(col("v"), struct((-col("n")).as("nn"), col("v").as("v"))).as("m"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
   /** A10 — IQR outlier bounds + count (`outliers.py:21-26`: 1.5×IQR). */
   def iqrOutliers(df: DataFrame, c: String, factor: Double = 1.5): OutlierBounds = {
     val q = df.agg(percentile_approx(col(c).cast("double"),

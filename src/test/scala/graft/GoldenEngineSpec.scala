@@ -107,6 +107,42 @@ class GoldenEngineSpec extends SparkSpec {
     assert(failedTotal === 10L)
   }
 
+  test("ledger carries real per-partition violation counts (r2 stubbed -1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledger-v").toString
+    val cfg = EngineConfig(rules = rowRules, ledgerDir = Some(dir), runId = "rv")
+    val run = new ValidationRun(spark, cfg)
+    run.runAndWrite(docs, Some(assets), s"$dir/out")
+    val got = spark.read.parquet(s"$dir/ledger")
+      .select($"part", $"violations").as[(Int, Long)].collect().toMap
+    // from the golden violation set: 5 rows land in each partition
+    assert(got === Map(0 -> 5L, 1 -> 5L))
+    // and the ledger totals equal the violations artifact row count
+    val artifactRows = spark.read.parquet(s"$dir/out/violations").count()
+    assert(got.values.sum === artifactRows)
+  }
+
+  test("run() plan shape: verdicts reuse the cached rule pass (no re-scan of docs)") {
+    val pq = Fixtures.docsPq(spark, 2000, 4)
+    val cfg = EngineConfig(rules = rowRules)
+    val run = new ValidationRun(spark, cfg)
+    val (verdicts, viols) = run.run(pq, Some(Fixtures.assets(spark)))
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def parquetScans(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect { case l: LogicalRelation => l }.size
+    // post-cache-substitution, the verdict aggregation must flow entirely
+    // through the persisted narrow annotation + cached violations — any
+    // LogicalRelation leaf here would be a 4th/5th scan of the docs table
+    // (the r2 shape: separate totals scan + semi-join scan)
+    assert(parquetScans(verdicts.queryExecution.optimizedPlan) === 0,
+      verdicts.queryExecution.optimizedPlan.toString)
+    assert(verdicts.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
+    // the narrow annotation itself reads the docs table exactly once; with
+    // the uniqueness key scan and the RI media scan that makes 3 scans total
+    assert(run.lastNarrow.isDefined)
+    assert(parquetScans(run.lastNarrow.get.queryExecution.analyzed) === 1)
+    viols.unpersist(); run.unpersistAll()
+  }
+
   test("strict mode drops failing rows (reference :88-90)") {
     val res = ValidationEngine.validate(docs, rowRules, strictMode = true)
     assert(res.report.count() === 5)

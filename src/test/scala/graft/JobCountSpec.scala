@@ -57,4 +57,22 @@ class JobCountSpec extends SparkSpec {
     val n = jobs { Metrics.uniqueness(wide) }
     assert(n <= 6, s"uniqueness ran $n jobs (should be 2 aggs + AQE stages)")
   }
+
+  test("semantic Detector.detectTypes: one sampled agg (no full-table scans)") {
+    val n = jobs { graft.semantic.Detector.detectTypes(wide) }
+    assert(n <= 2, s"Detector.detectTypes ran $n jobs (r2 shape was 3: count + sample agg + card agg)")
+  }
+
+  test("SemanticValidators.validate: counts AND examples in one agg job") {
+    val people = graft.fixtures.Fixtures.people(spark)
+    val tm = graft.semantic.Detector.detectTypes(people)
+    val n = jobs { graft.semantic.SemanticValidators.validate(people, tm,
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00")) }
+    assert(n <= 2, s"validate ran $n jobs (r2 launched one examples job per flagged issue)")
+  }
+
+  test("Profiler.modes: all columns in one melted agg, not one job per column") {
+    val n = jobs { Profiler.modes(wide, Seq("s1", "s2", "s3")) }
+    assert(n <= 3, s"modes ran $n jobs for 3 columns (per-column shape is ~2 jobs each)")
+  }
 }
