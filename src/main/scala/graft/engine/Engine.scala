@@ -250,7 +250,26 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
         lit(config.runId).as("run_id"), $"part", $"status",
         $"total_rows", $"failed".as("failed_rows"),
         coalesce($"__viol_n", lit(0L)).as("violations"), lit(wallMs).as("wall_ms"))
-      ledger.write.mode(SaveMode.Append).parquet(lp)
+      // Optional per-partition KLL quantile sketches (north rule "drift over
+      // quantile sketches"): one extra column-pruned scan of the in-scope
+      // partitions, exported as map<name, serialized sketch> — merged across
+      // partitions/runs by Drift.mergeLedgerSketches without re-scanning.
+      val withSketches =
+        if (config.sketchExprs.isEmpty) ledger
+        else {
+          val kll = graft.stats.Sketches.kllSketch()
+          val names = config.sketchExprs.keys.toSeq.sorted
+          val parts = verdicts.select($"part").as[Int].collect().toSeq
+          val aggs = names.map(n =>
+            kll(config.sketchExprs(n).cast("double")).as(s"__sk_$n"))
+          val sk = docs.where($"part".isin(parts: _*))
+            .groupBy($"part".cast("int").as("part"))
+            .agg(aggs.head, aggs.tail: _*)
+            .select($"part",
+              map(names.flatMap(n => Seq(lit(n), col(s"__sk_$n"))): _*).as("sketches"))
+          ledger.join(sk, Seq("part"), "left")
+        }
+      withSketches.write.mode(SaveMode.Append).parquet(lp)
     }
     verdicts.unpersist()
     viols.unpersist()

@@ -12,14 +12,16 @@ import org.apache.spark.sql.functions._
  * rule upgrades this to proper two-sample statistics computed from
  * per-partition sketches:
  *
- *  1. each side (baseline vs current) is reduced to a quantile vector /
- *     histogram with ONE `percentile_approx` (or [[Sketches.histogram]]) agg —
- *     never a row-level comparison between the two tables;
- *  2. KS statistic and χ² are driver-side folds over the two small vectors.
+ *  1. each side (baseline vs current) is reduced to ONE mergeable KLL
+ *     quantile sketch ([[Sketches.KllSketch]]) in a single agg pass — never
+ *     a row-level comparison between the two tables;
+ *  2. KS statistic and χ² are driver-side folds over the two sketches.
  *
  * This keeps the drift check O(sketch size) on the driver and one scan per
- * side on the cluster, mergeable across partitions and resumable from the
- * ledger (histograms add; quantile vectors recompute per partition set).
+ * side on the cluster — or ZERO scans when the sketches come from the
+ * engine's per-partition metrics ledger ([[mergeLedgerSketches]]): sketches
+ * merge across partitions and runs, so resumed/incremental runs never
+ * re-read completed data.
  */
 object Drift {
 
@@ -101,32 +103,91 @@ object Drift {
                          ksDrifted: Boolean, chi2: Double, chi2Dof: Int,
                          chi2Drifted: Boolean)
 
-  /** Full drift check of one numeric column between two tables: one agg per
-    * side for quantiles + one per side for histograms (over the combined
-    * min/max range), statistics on the driver. */
-  def check(baseline: DataFrame, current: DataFrame, c: String,
-            bins: Int = 64, alpha: Double = 1.358): DriftReport = {
-    val qa = quantileVector(baseline, c, bins)
-    val qb = quantileVector(current, c, bins)
-    val ks = ksFromQuantiles(qa, qb)
-    // shared histogram range from the quantile extremes (robust to outliers)
-    val lo = math.min(qa.headOption.getOrElse(0.0), qb.headOption.getOrElse(0.0))
-    val hi0 = math.max(qa.lastOption.getOrElse(1.0), qb.lastOption.getOrElse(1.0))
+  /** One KLL sketch of a numeric column: ONE agg, single pass. */
+  def sketchColumn(df: DataFrame, c: String, k: Int = 2048): Sketches.KllSketch = {
+    val kll = Sketches.kllSketch(k)
+    val row = df.agg(kll(col(c).cast("double")).as("sk")).collect()(0)
+    Sketches.KllSketch.fromBytes(row.getAs[Array[Byte]](0))
+  }
+
+  /** Two-sample KS statistic from two KLL sketches: max CDF gap over the
+    * union of stored support points (the empirical CDFs are step functions
+    * whose steps are exactly the stored items, so the max over the union of
+    * supports IS the max over all x). */
+  def ksFromSketches(a: Sketches.KllSketch, b: Sketches.KllSketch): Double = {
+    if (a.count == 0 || b.count == 0) return 0.0
+    val support = (a.weighted.map(_._1) ++ b.weighted.map(_._1)).distinct.sorted
+    support.map(x => math.abs(a.cdf(x) - b.cdf(x))).max
+  }
+
+  /** Aligned equi-width histograms over the combined sketch range, counts
+    * reconstructed from each sketch's CDF mass per bin.
+    *
+    * Bin count is deliberately coarse: reconstruction error per bin edge is
+    * ~ε·n (ε = sketch rank error), while expected bin mass shrinks as
+    * n/bins, so the χ² noise floor grows ~bins²·ε²·n — at 64 bins/k=200 the
+    * noise alone crossed the critical value on identical distributions.
+    * 16 bins with the k=2048 default keeps the floor well under the
+    * threshold while a real shift still exceeds it by 10-100×. */
+  def chi2FromSketches(a: Sketches.KllSketch, b: Sketches.KllSketch,
+                       bins: Int = 16): Chi2Result = {
+    if (a.count == 0 || b.count == 0) return Chi2Result(0.0, 0)
+    val lo = math.min(a.minV, b.minV)
+    val hi0 = math.max(a.maxV, b.maxV)
     val hi = if (hi0 == lo) lo + 1 else hi0
-    val hAgg = Sketches.histogram(lo, hi, bins)
-    def hist(df: DataFrame): (Array[Long], Long) = {
-      val r = df.agg(hAgg(col(c).cast("double")).as("h"),
-        count(col(c)).as("n")).collect()(0)
-      (r.getSeq[Long](0).toArray, r.getLong(1))
+    def hist(s: Sketches.KllSketch): Array[Long] = {
+      val edges = (0 to bins).map(i => lo + (hi - lo) * i / bins)
+      (0 until bins).map { i =>
+        val p = s.cdf(edges(i + 1)) - (if (i == 0) 0.0 else s.cdf(edges(i)))
+        math.round(p * s.count)
+      }.toArray
     }
-    val (ha, na) = hist(baseline)
-    val (hb, nb) = hist(current)
-    val chi2 = chi2FromHistograms(ha, hb)
-    val thr = ksThreshold(na, nb, alpha)
+    chi2FromHistograms(hist(a), hist(b))
+  }
+
+  /** Drift verdict from two (possibly merged per-partition / cross-run)
+    * sketches — no data scan at all.
+    *
+    * `minEffect` is a practical-significance floor on the KS statistic (max
+    * CDF displacement): at 10^12-row scale the statistical threshold falls
+    * to ~1e-6 — below both the sketch resolution AND any actionable drift —
+    * so a pure α-test would flag every pair of real-world runs. The default
+    * 0.005 (half a percentile of displacement) is far under any drift a
+    * pipeline would act on and above the k=2048 sketch's rank error. */
+  def checkSketches(a: Sketches.KllSketch, b: Sketches.KllSketch, c: String,
+                    bins: Int = 16, alpha: Double = 1.358,
+                    minEffect: Double = 0.005): DriftReport = {
+    val ks = ksFromSketches(a, b)
+    val chi2 = chi2FromSketches(a, b, bins)
+    val thr = math.max(
+      ksThreshold(math.max(a.count, 1), math.max(b.count, 1), alpha), minEffect)
     // χ² critical value ~ dof + 3·sqrt(2·dof) (≈ p<0.01 for moderate dof)
     val chi2Crit = chi2.dof + 3.0 * math.sqrt(2.0 * chi2.dof)
     DriftReport(c, ks, thr, ks > thr, chi2.statistic, chi2.dof,
-      chi2.dof > 0 && chi2.statistic > chi2Crit)
+      chi2.dof > 0 && chi2.statistic > chi2Crit && ks > minEffect)
+  }
+
+  /** Full drift check of one numeric column between two tables: ONE
+    * single-pass KLL agg per side (r2 ran two passes per side — a
+    * `percentile_approx` agg plus a histogram agg whose bin range needed the
+    * quantile pass first), statistics on the driver from the two sketches. */
+  def check(baseline: DataFrame, current: DataFrame, c: String,
+            bins: Int = 16, alpha: Double = 1.358): DriftReport =
+    checkSketches(sketchColumn(baseline, c), sketchColumn(current, c), c,
+      bins, alpha)
+
+  /** Merge a run's per-partition ledger sketches (see
+    * [[graft.engine.EngineConfig.sketchExprs]]) for sketch `name` into one
+    * sketch — cross-run drift then needs NO data scan: two ledger reads +
+    * [[checkSketches]]. */
+  def mergeLedgerSketches(ledger: DataFrame, runId: String,
+                          name: String): Option[Sketches.KllSketch] = {
+    val rows = ledger.where(col("run_id") === runId)
+      .select(element_at(col("sketches"), name).as("s"))
+      .where(col("s").isNotNull)
+      .collect().map(_.getAs[Array[Byte]](0))
+    if (rows.isEmpty) None
+    else Some(Sketches.KllSketch.mergeAll(rows.toIndexedSeq))
   }
 
   /** χ² drift over a categorical column: value-count join on the (small)
