@@ -13,40 +13,80 @@ import org.apache.spark.sql.functions._
  * The headline metric follows BASELINE.json: documents validated/sec for the
  * full rule suite (verdicts + violation rows materialized) over the
  * fixture-generated interleaved-docs table. `SPARK_GRAFT_BENCH_DOCS`
- * overrides the doc count (default 1M).
+ * overrides the doc count (default 20 M: below ~10 M the headline is
+ * dominated by fixed job overhead).
+ *
+ * Round-3 reconciliation (VERDICT r2 item 1): the engine leg now runs in a
+ * FRESH session configured identically to `ScalingBench`'s legs (tmpfs
+ * shuffle dir, 2×cores shuffle partitions, no residue from the 40-query
+ * sweep), and every leg's wall/GC/process-CPU is printed in the JSON
+ * (`engine_legs`) so a slow sandbox episode is visible in the artifact
+ * instead of silently polluting the min. The headline is min-of-legs, same
+ * protocol as BENCH.md.
  */
 object Bench {
+
+  /** Engine-leg session — MUST stay config-identical to ScalingBench.session
+    * so the driver-run headline and the dedicated scaling runs measure the
+    * same thing. */
+  def engineSession(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-engine-$cores")
+      .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      // local-mode-only: shuffle through tmpfs so a single shared disk
+      // doesn't serialize what would be per-node I/O on a real cluster
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
+        else System.getProperty("java.io.tmpdir"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def gcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+  }
+  private def cpuNs: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean].getProcessCpuTime
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // 20 M docs: below ~10 M the headline is dominated by fixed job overhead
-    // (a 1 M-doc suite ran in 4.6 s → 216 k docs/s vs the 1.01 M docs/s the
-    // same engine sustains at 40 M docs); the fixture parquet is generated
-    // once and reused across runs
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000000").toLong
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // the fixture parquet is small-file-dense (~5 MB/file); default 128 MB
-      // maxPartitionBytes would bin the whole scan into 2-3 input splits and
-      // serialize the per-row rule evaluation — size splits to the core count
-      // (a real 100 TB table has full-size files and doesn't need this)
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      .config("spark.sql.files.openCostInBytes", "1m")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-
-    def execute(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
+    val docsPath = s"/tmp/graft_bench_docs_$nDocs"
 
     // ---- per-query timings (full plan execution via noop sink)
     val engineOnly = sys.env.get("SPARK_GRAFT_ENGINE_ONLY").contains("1")
-    if (!engineOnly) {
+    val results: Seq[(String, Double)] = if (engineOnly) Seq.empty else {
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        // the sf-dir parquet is small-file-dense (~5 MB/file); default 128 MB
+        // maxPartitionBytes would bin the whole scan into 2-3 input splits
+        // and serialize the per-row work (a real 100 TB table has full-size
+        // files and doesn't need this)
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      def execute(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
       // warmup: page-cache the input tables + JIT the scan/agg paths so the
       // alphabetically-first query doesn't absorb the cold-start cost
       Seq("lineitem", "orders", "events", "documents", "embeddings", "part",
@@ -55,51 +95,59 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
       }
-    }
-    val results = if (engineOnly) Seq.empty else
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try execute(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try execute(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      spark.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      rs
     }
 
-    // ---- engine throughput: the BASELINE.json headline metric.
-    // Docs written to parquet first so the measured pass reads real files.
-    val docsPath = s"/tmp/graft_bench_docs_$nDocs"
+    // ---- engine throughput: the BASELINE.json headline metric, in a fresh
+    // ScalingBench-identical session. Docs written to parquet first so the
+    // measured pass reads real files.
+    val s2 = engineSession(cpus.toInt)
     // _SUCCESS (not bare dir existence): an interrupted prior write must not
     // be silently reused as a partial fixture (ADVICE r2)
     if (!new java.io.File(s"$docsPath/_SUCCESS").exists()) {
-      graft.fixtures.Fixtures.docs(spark, nDocs, nParts = 32)
+      graft.fixtures.Fixtures.docs(s2, nDocs, nParts = 32)
         .write.mode("overwrite").parquet(docsPath)
     }
-    val docs = spark.read.parquet(docsPath)
-    val assets = graft.fixtures.Fixtures.assets(spark)
+    val docs = s2.read.parquet(docsPath)
+    val assets = graft.fixtures.Fixtures.assets(s2)
     val cfg = graft.engine.EngineConfig(rules = Seq(
       graft.rules.BoundRule(graft.core.RuleSpec.Required("doc_id")),
       graft.rules.BoundRule(graft.core.RuleSpec.SpanOffsetsMonotonic()),
       graft.rules.BoundRule(graft.core.RuleSpec.SpanFieldConsistency()),
       graft.rules.BoundRule(graft.core.RuleSpec.SpansNonEmpty())))
-    val run = new graft.engine.ValidationRun(spark, cfg)
-    // three timed repetitions; report the best (steady-state) one — the first
-    // pays page-cache + JIT warmup
+    val run = new graft.engine.ValidationRun(s2, cfg)
+    // timed repetitions, min reported (all legs + telemetry in the JSON —
+    // this sandbox shows multi-x excursions on identical plans)
     val reps = (1 to 3).map { _ =>
+      val (gc0, cpu0) = (gcMs, cpuNs)
       val t0 = System.nanoTime()
       val (verdicts, viols) = run.run(docs, Some(assets))
-      execute(viols)
-      execute(verdicts)
+      viols.write.format("noop").mode("overwrite").save()
+      verdicts.write.format("noop").mode("overwrite").save()
       viols.unpersist()
       run.unpersistAll()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, (gcMs - gc0) / 1e3, (cpuNs - cpu0) / 1e9)
     }
-    val engineSec = reps.min
+    s2.stop()
+    val engineSec = reps.map(_._1).min
     val docsPerSec = nDocs / engineSec
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + engineSec
-    println(f"""{"metric":"docs_validated_per_sec","value":$docsPerSec%.0f,"unit":"docs/sec","total_sec":$total%.2f,"engine_sec":$engineSec%.2f,"engine_docs":$nDocs,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val legs = reps.map { case (s, g, c) =>
+      f"""{"sec":$s%.2f,"gc_sec":$g%.2f,"cpu_sec":$c%.1f}""" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).sum + reps.map(_._1).sum
+    println(f"""{"metric":"docs_validated_per_sec","value":$docsPerSec%.0f,"unit":"docs/sec","total_sec":$total%.2f,"engine_sec":$engineSec%.2f,"engine_docs":$nDocs,"engine_legs":$legs,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
   }
 }

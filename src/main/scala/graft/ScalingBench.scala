@@ -18,27 +18,9 @@ object ScalingBench {
     val big = small * 4
     val docsPath = s"/tmp/graft_bench_docs_$nDocs"
 
-    def session(cores: Int): SparkSession = {
-      val s = SparkSession.builder()
-        .master(s"local[$cores]")
-        .appName(s"graft-scaling-$cores")
-        .config("spark.sql.shuffle.partitions", (cores * 2).toString)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
-        .config("spark.sql.files.maxPartitionBytes", "8m")
-        .config("spark.sql.files.openCostInBytes", "1m")
-        // local-mode-only: shuffle through tmpfs so a single shared disk
-        // doesn't serialize what would be per-node I/O on a real cluster
-        .config("spark.local.dir",
-          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
-          else System.getProperty("java.io.tmpdir"))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      s.sparkContext.setLogLevel("ERROR")
-      s
-    }
+    // one session factory shared with the driver-run Bench engine leg, so
+    // the two headline paths are config-identical by construction
+    def session(cores: Int): SparkSession = Bench.engineSession(cores)
 
     // generate once
     locally {

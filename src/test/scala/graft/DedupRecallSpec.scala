@@ -41,9 +41,10 @@ class DedupRecallSpec extends SparkSpec {
     else (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
   }
 
-  test("ngramJaccardPairs is exact: equals brute-force pairs at t=0.3 (recall 1.0)") {
+  test("ngramJaccardPairs (forceExact) equals brute-force pairs at t=0.3 (recall 1.0)") {
     val df = docs.toDF("doc_id", "text")
-    val got = Dedup.ngramJaccardPairs(df, "text", "doc_id", shingleK = 3, minJaccard = 0.3)
+    val got = Dedup.ngramJaccardPairs(df, "text", "doc_id", shingleK = 3,
+        minJaccard = 0.3, forceExact = true)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     val sets = docs.map { case (id, t) => id -> shingleSet(t) }
     val want = (for {
@@ -58,6 +59,30 @@ class DedupRecallSpec extends SparkSpec {
       j = (sa & sb).size.toDouble / (sa | sb).size if j >= 0.3 && j < 0.5
     } yield (ia, ib)).size
     assert(borderline >= 5, s"want borderline pairs, got $borderline")
+  }
+
+  test("ngramJaccardPairs low-t default routes via MinHash: zero false positives, full recall at J≥0.6") {
+    val df = docs.toDF("doc_id", "text")
+    // default at t=0.3 takes the banded-MinHash + exact-verify scale path
+    val got = Dedup.ngramJaccardPairs(df, "text", "doc_id", shingleK = 3, minJaccard = 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }
+    def pairsAbove(t: Double) = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= t
+    } yield (ia, ib)).toSet
+    val want = pairsAbove(0.3)
+    // exact verification ⇒ never a false positive
+    assert((got -- want).isEmpty, s"false positives: ${got -- want}")
+    // the (r=2, b=24) S-curve: every pair with J ≥ 0.6 must be found
+    // (per-pair miss ≤ (1−0.36)^24 ≈ 2e-5 — deterministic hashes make this
+    // a fixed outcome, asserted here), and overall recall at t=0.3 over a
+    // fixture DESIGNED to sit on the borderline stays ≥ 85%
+    val high = pairsAbove(0.6)
+    assert(high.nonEmpty && (high -- got).isEmpty,
+      s"missed high-similarity pairs: ${high -- got}")
+    assert(got.size.toDouble / want.size >= 0.85,
+      s"routed recall ${got.size}/${want.size} below floor")
   }
 
   test("simhashPairs is exact: pigeonhole blocks equal brute-force hamming ≤ 3") {
