@@ -63,7 +63,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000000").toLong
+    // 40 M (one-time fixture generation, reused via _SUCCESS): fixed job
+    // overhead still biases the rate ~20% at 20 M docs
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "40000000").toLong
     val docsPath = s"/tmp/graft_bench_docs_$nDocs"
 
     // ---- per-query timings (full plan execution via noop sink)
@@ -123,11 +125,19 @@ object Bench {
       graft.rules.BoundRule(graft.core.RuleSpec.Required("doc_id")),
       graft.rules.BoundRule(graft.core.RuleSpec.SpanOffsetsMonotonic()),
       graft.rules.BoundRule(graft.core.RuleSpec.SpanFieldConsistency()),
-      graft.rules.BoundRule(graft.core.RuleSpec.SpansNonEmpty())))
+      graft.rules.BoundRule(graft.core.RuleSpec.SpansNonEmpty())),
+      // A/B hook: SPARK_GRAFT_NO_PERSIST=1 benchmarks the recompute-not-cache
+      // variant of the narrow annotation pass
+      persistAnnotations = !sys.env.get("SPARK_GRAFT_NO_PERSIST").contains("1"))
     val run = new graft.engine.ValidationRun(s2, cfg)
-    // timed repetitions, min reported (all legs + telemetry in the JSON —
-    // this sandbox shows multi-x excursions on identical plans)
-    val reps = (1 to 3).map { _ =>
+    // timed repetitions, min reported, ALL legs + telemetry in the JSON.
+    // This sandbox shows multi-x CPU-inflation episodes on identical plans
+    // (BENCH.md: identical 32-wide legs measured 42–445 s), so legs repeat —
+    // min 3, up to 6 — until one lands under a 60 µs·core/doc sanity line
+    // (a clean engine leg runs ~25-35; inflated episodes run 125-250).
+    val cleanCpuSec = 60e-6 * nDocs
+    val reps = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+    while (reps.size < 3 || (reps.size < 6 && !reps.exists(_._3 <= cleanCpuSec))) {
       val (gc0, cpu0) = (gcMs, cpuNs)
       val t0 = System.nanoTime()
       val (verdicts, viols) = run.run(docs, Some(assets))
@@ -136,7 +146,7 @@ object Bench {
       viols.unpersist()
       run.unpersistAll()
       val sec = (System.nanoTime() - t0) / 1e9
-      (sec, (gcMs - gc0) / 1e3, (cpuNs - cpu0) / 1e9)
+      reps += ((sec, (gcMs - gc0) / 1e3, (cpuNs - cpu0) / 1e9))
     }
     s2.stop()
     val engineSec = reps.map(_._1).min

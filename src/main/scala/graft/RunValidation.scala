@@ -14,6 +14,9 @@ import graft.rules.BoundRule
  * Usage:
  *   RunValidation <outDir> [--docs <parquetPath>] [--assets <parquetPath>]
  *                 [--gen <nDocs>] [--parts <n>] [--resume] [--master local[N]]
+ *                 [--sketch]   // also persist per-partition KLL quantile
+ *                              // sketches (span count per doc) in the ledger
+ *                              // for zero-scan cross-run drift checks
  *
  * With `--gen N` the deterministic fixture generator supplies the input
  * (FIXTURES.md F1/F2); otherwise point --docs/--assets at parquet tables with
@@ -52,7 +55,12 @@ object RunValidation {
         BoundRule(SpanOffsetsMonotonic()),
         BoundRule(SpanFieldConsistency()),
         BoundRule(SpansNonEmpty())),
-      ledgerDir = Some(s"$outDir/_ledger"))
+      ledgerDir = Some(s"$outDir/_ledger"),
+      sketchExprs =
+        if (args.contains("--sketch"))
+          Map("n_spans" -> org.apache.spark.sql.functions
+            .size(org.apache.spark.sql.functions.col("spans")).cast("double"))
+        else Map.empty)
     val t0 = System.nanoTime()
     new ValidationRun(spark, cfg).runAndWrite(docs, assets, outDir, resume)
     val secs = (System.nanoTime() - t0) / 1e9

@@ -16,9 +16,11 @@ import org.apache.spark.unsafe.types.UTF8String
  * [[graft.text.Text]] / [[graft.dedup.Dedup]] / [[graft.sim.Similarity]]
  * (the DuckDB oracle checks pin this).
  *
- * All are `CodegenFallback`: one virtual call per row into a primitive loop.
- * (Full `doGenCode` is a later optimization; the fallback already removes
- * the per-element interpretation overhead that dominates.)
+ * All implement real `doGenCode` via [[DirectEvalCodegen]] (r3): the
+ * enclosing WholeStageCodegen stage passes the child column value straight
+ * into the primitive eval loop — no per-row InternalRow materialization
+ * (which `CodegenFallback`'s whole-row `references[i].eval(row)` forced),
+ * and sibling expressions stay fused in the stage.
  */
 object Hashing {
   /** First 60 bits of md5 (= first 15 hex chars parsed base-16) — matches
@@ -199,19 +201,88 @@ object TextScratch {
   }
 }
 
+/**
+ * Real `doGenCode` for the custom expressions (VERDICT r2 stretch item 9):
+ * the generated code evaluates the CHILD column (already a codegen variable
+ * in the enclosing WholeStageCodegen stage) and passes it straight into the
+ * expression's `nullSafeEval` primitive loop.
+ *
+ * `CodegenFallback` instead generates `references[i].eval(row)`, which
+ * forces the stage to materialize an `InternalRow` for the whole input row
+ * on EVERY call — for a projection computing several stats over one text
+ * column that is a per-row UnsafeRow build per expression. With this trait
+ * the only per-row overhead left is one virtual call into the (JIT-hot)
+ * eval loop, and the stage's other expressions stay fused.
+ */
+trait DirectEvalCodegen extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  /** Java-source type of nullSafeEval's result ("long"/"double" auto-unbox). */
+  protected def resultJavaType: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("expr", this, this.getClass.getName)
+      resultJavaType match {
+        case "long" =>
+          s"${ev.value} = ((java.lang.Long) $ref.nullSafeEval($c)).longValue();"
+        case "double" =>
+          s"${ev.value} = ((java.lang.Double) $ref.nullSafeEval($c)).doubleValue();"
+        case t => s"${ev.value} = ($t) $ref.nullSafeEval($c);"
+      }
+    })
+}
+
+/** [[DirectEvalCodegen]] for TOTAL unary expressions — those that handle a
+  * null child themselves and never return null (`SpanChecks`: null spans →
+  * (null, null, is_empty=true); `SpanTextConcat`: null spans → ""). The
+  * expression implements [[evalChild]] over the raw (possibly null) child
+  * value; interpreted eval and generated code share it. */
+trait DirectEvalCodegenTotal extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen._
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  protected def resultJavaType: String
+  /** Total function over the child value (null allowed, never returns null). */
+  def evalChild(v: Any): Any
+  override def eval(input: InternalRow): Any = evalChild(child.eval(input))
+  override def nullable: Boolean = false
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("expr", this, this.getClass.getName)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = c.code + code"""
+$jt ${ev.value} = ($resultJavaType) $ref.evalChild(${c.isNull} ? null : (Object) ${c.value});""",
+      isNull = FalseLiteral)
+  }
+}
+
+/** [[DirectEvalCodegen]] for binary expressions. */
+trait DirectEvalCodegenBinary extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  protected def resultJavaType: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val ref = ctx.addReferenceObj("expr", this, this.getClass.getName)
+      resultJavaType match {
+        case "long" =>
+          s"${ev.value} = ((java.lang.Long) $ref.nullSafeEval($l, $r)).longValue();"
+        case "double" =>
+          s"${ev.value} = ((java.lang.Double) $ref.nullSafeEval($l, $r)).doubleValue();"
+        case t => s"${ev.value} = ($t) $ref.nullSafeEval($l, $r);"
+      }
+    })
+}
+
 /** Span-rule checks in ONE pass over the spans array.
   * Output: struct(mono_bad_offset INT (null = ok), field_bad_offset INT
   * (null = ok), is_empty BOOLEAN). Null input ⇒ (null, null, true).
   * Mirrors Rules.SpanOffsetsMonotonic / SpanFieldConsistency / SpansNonEmpty. */
-case class SpanChecks(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SpanChecks(child: Expression) extends UnaryExpression with DirectEvalCodegenTotal {
+  override protected def resultJavaType: String = "org.apache.spark.sql.catalyst.InternalRow"
   override def dataType: DataType = StructType(Seq(
     StructField("mono_bad_offset", IntegerType, nullable = true),
     StructField("field_bad_offset", IntegerType, nullable = true),
     StructField("is_empty", BooleanType, nullable = false)))
-  override def nullable: Boolean = false
-
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
+  override def evalChild(v: Any): Any = {
     if (v == null) return InternalRow(null, null, true)
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -249,7 +320,8 @@ case class SpanChecks(child: Expression) extends UnaryExpression with CodegenFal
   * Output struct: n_tokens INT, n_bpe INT, n_punct INT, n_ws INT, len INT,
   * n_stop INT (lowercased token ∈ stopwords). Null text ⇒ null. */
 case class TokenStats(child: Expression, stopwords: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with DirectEvalCodegen {
+  override protected def resultJavaType: String = "org.apache.spark.sql.catalyst.InternalRow"
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", IntegerType), StructField("n_bpe", IntegerType),
     StructField("n_punct", IntegerType), StructField("n_ws", IntegerType),
@@ -348,7 +420,8 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
   * chars 1-15, odd slots chars 16-30 (two hashes per digest).
   * Output array<long> of length k; null text ⇒ null. */
 case class MinHashSig(child: Expression, k: Int, shingleK: Int, portable: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with DirectEvalCodegen {
+  override protected def resultJavaType: String = "org.apache.spark.sql.catalyst.util.ArrayData"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any = {
     val u = v.asInstanceOf[UTF8String]
@@ -426,7 +499,8 @@ case class MinHashSig(child: Expression, k: Int, shingleK: Int, portable: Boolea
 /** SimHash of word tokens of normalized text, `bits` wide. Portable mode
   * hashes each token with md5_60; fast mode with splitmix64. */
 case class SimHashExpr(child: Expression, bits: Int, portable: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with DirectEvalCodegen {
+  override protected def resultJavaType: String = "long"
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any = {
     val u = v.asInstanceOf[UTF8String]
@@ -478,7 +552,8 @@ case class SimHashExpr(child: Expression, bits: Int, portable: Boolean)
 /** Word k-shingles of normalized text as array<string> — tight-loop twin of
   * [[graft.text.Text.shingles]] (docs shorter than k words → whole text). */
 case class WordShingles(child: Expression, k: Int, distinct: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with DirectEvalCodegen {
+  override protected def resultJavaType: String = "org.apache.spark.sql.catalyst.util.ArrayData"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(v: Any): Any = {
     val u = v.asInstanceOf[UTF8String]
@@ -517,12 +592,11 @@ case class WordShingles(child: Expression, k: Int, distinct: Boolean)
   * copies) dominated the content-pass profile at bench scale. Null/empty
   * spans → empty string (concat_ws semantics). */
 case class SpanTextConcat(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with DirectEvalCodegenTotal {
+  override protected def resultJavaType: String = "org.apache.spark.unsafe.types.UTF8String"
   override def dataType: DataType = StringType
-  override def nullable: Boolean = false
   @transient private lazy val sep = UTF8String.fromString(" ")
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
+  override def evalChild(v: Any): Any = {
     if (v == null) return UTF8String.EMPTY_UTF8
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -541,7 +615,8 @@ case class SpanTextConcat(child: Expression)
 /** Primitive-loop dot product over two array<float>/array<double> columns,
   * accumulating in double in array order (same as the HOF formulation). */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with DirectEvalCodegenBinary {
+  override protected def resultJavaType: String = "double"
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]

@@ -139,10 +139,19 @@ object Profiler {
   }
 
   /** A8 — number of rows that are duplicates of an earlier identical row
-    * (pandas `df.duplicated().sum()` = total − distinct). */
+    * (pandas `df.duplicated().sum()` = total − distinct).
+    *
+    * Groups on `xxhash64(struct(keys))` rather than the full key tuple, so
+    * the shuffle carries an 8-byte key instead of the whole row width
+    * (VERDICT r2 note on `uniqueness()`); null cells hash deterministically,
+    * matching SQL's null-safe grouping. Same answer modulo 64-bit hash
+    * collisions — expected extra dups ≈ n²/2^65 (~3·10⁻⁸ relative error at
+    * 10⁹ rows), absorbed by the dup-rate metrics this feeds. */
   def duplicateRowCount(df: DataFrame, subset: Seq[String] = Nil): Long = {
     val keys = if (subset.isEmpty) df.columns.toSeq else subset
-    val grouped = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+    val grouped = df
+      .groupBy(xxhash64(struct(keys.map(col): _*)).as("__h"))
+      .agg(count(lit(1)).as("__n"))
     val r = grouped.agg(sum(col("__n") - 1).as("dups")).collect()(0)
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
