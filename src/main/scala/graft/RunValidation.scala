@@ -15,8 +15,10 @@ import graft.rules.BoundRule
  *   RunValidation <outDir> [--docs <parquetPath>] [--assets <parquetPath>]
  *                 [--gen <nDocs>] [--parts <n>] [--resume] [--master local[N]]
  *                 [--sketch]   // also persist per-partition KLL quantile
- *                              // sketches (span count per doc) in the ledger
- *                              // for zero-scan cross-run drift checks
+ *                              // sketches (span count per doc) + HLL
+ *                              // distinct-count registers (doc_id) in the
+ *                              // ledger for zero-scan cross-run drift checks;
+ *                              // sketch inputs ride the rule-pass scan
  *
  * With `--gen N` the deterministic fixture generator supplies the input
  * (FIXTURES.md F1/F2); otherwise point --docs/--assets at parquet tables with
@@ -60,6 +62,10 @@ object RunValidation {
         if (args.contains("--sketch"))
           Map("n_spans" -> org.apache.spark.sql.functions
             .size(org.apache.spark.sql.functions.col("spans")).cast("double"))
+        else Map.empty,
+      hllSketchExprs =
+        if (args.contains("--sketch"))
+          Map("doc_id" -> org.apache.spark.sql.functions.col("doc_id"))
         else Map.empty)
     val t0 = System.nanoTime()
     new ValidationRun(spark, cfg).runAndWrite(docs, assets, outDir, resume)

@@ -224,16 +224,37 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Analytic LSH S-curve recall for a pair at Jaccard `j` under banded
+    * MinHash with `b` bands of `r` rows: P(candidate) = 1 − (1 − j^r)^b.
+    * This is the per-pair recall the banded route guarantees — logged by
+    * [[ngramJaccardPairsViaMinhash]] so audit users can decide when the
+    * borderline band matters enough to `forceExact`. */
+  def sCurveRecall(j: Double, r: Int, b: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(j, r), b)
+
   /** Low-threshold scale path for [[ngramJaccardPairs]]: banded-MinHash
     * candidate pairs (bucket-local join, q17b machinery) + exact
     * `array_intersect/union` verification. The length filter
     * (J ≥ t ⇒ t·max(|a|,|b|) ≤ min(|a|,|b|)) prunes size-mismatched
     * candidates before the shingle re-join. Shuffle cost is O(k·docs) band
-    * keys + O(candidates), never O(Σ prefix²/bucket). */
+    * keys + O(candidates), never O(Σ prefix²/bucket).
+    *
+    * Every call logs the analytic S-curve recall at the requested threshold
+    * (zero extra jobs); `telemetry = true` additionally COUNTS the candidate
+    * and verified pair sets (two extra jobs — audit runs only) so the
+    * realized candidate volume is in the log next to the estimate. */
   def ngramJaccardPairsViaMinhash(df: DataFrame, textCol: String, idCol: String,
                                   shingleK: Int = 3, minJaccard: Double = 0.3,
                                   portable: Boolean = true,
-                                  k: Int = 48, bands: Int = 24): DataFrame = {
+                                  k: Int = 48, bands: Int = 24,
+                                  telemetry: Boolean = false): DataFrame = {
+    val r = k / bands
+    val recallAtT = sCurveRecall(minJaccard, r, bands)
+    val recallAt09 = sCurveRecall(0.9, r, bands)
+    System.err.println(
+      f"[graft.dedup] banded-minhash jaccard route: t=$minJaccard%.2f r=$r b=$bands " +
+      f"estimated recall at J=t: $recallAtT%.4f, at J=0.9: $recallAt09%.6f " +
+      "(verified pairs are exact; pass forceExact=true for guaranteed recall 1.0)")
     val cands = minhashCandidatePairs(df, textCol, idCol, k, bands, shingleK,
       portable)
     val sh = df.select(col(idCol).as("id"),
@@ -243,13 +264,20 @@ object Dedup {
         // CodegenFallback shingle expr evaluates once, not twice
     val sa = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
     val sb = sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))
-    cands.join(sa, "id_a").join(sb, "id_b")
+    val verified = cands.join(sa, "id_a").join(sb, "id_b")
       .where(least(col("n_a"), col("n_b")).cast("double") >=
              greatest(col("n_a"), col("n_b")) * minJaccard)
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
+    if (telemetry) {
+      val nCand = cands.count(); val nVer = verified.count()
+      System.err.println(
+        f"[graft.dedup] banded-minhash jaccard telemetry: candidates=$nCand " +
+        f"verified=$nVer (precision after exact verify: 1.0 by construction)")
+    }
+    verified
   }
 
   // ------------------------------------------------- embedding near-dup

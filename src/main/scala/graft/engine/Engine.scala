@@ -89,7 +89,14 @@ case class EngineConfig(
     /** Numeric expressions sketched per partition into the ledger as KLL
       * quantile sketches (name → column expr over the docs table), feeding
       * cross-run drift checks from merged sketches. */
-    sketchExprs: Map[String, org.apache.spark.sql.Column] = Map.empty)
+    sketchExprs: Map[String, org.apache.spark.sql.Column] = Map.empty,
+    /** Expressions whose DISTINCT COUNT is sketched per partition into the
+      * ledger as HyperLogLog registers (name → column expr), mergeable
+      * cross-partition/cross-run by [[graft.stats.Drift.mergeLedgerHll]]
+      * (SURVEY §2.11 "HLL sketch persisted per partition and merged later").
+      * A null value contributes one distinct value (xxhash64 seed), matching
+      * the q26 convention; pre-filter the expr to exclude nulls. */
+    hllSketchExprs: Map[String, org.apache.spark.sql.Column] = Map.empty)
 
 /**
  * Per-partition validation orchestrator (SURVEY §3 EP1/EP2 Spark shape).
@@ -149,7 +156,11 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
     // uniqueness key scan, RI media-span scan), guarded by GoldenEngineSpec.
     val rowRules = config.rules.filterNot(r =>
       r.spec.isInstanceOf[RuleSpec.Unique]) // Unique handled by salted agg below
-    val narrow = ValidationEngine.annotateNarrow(todo, rowRules, "doc_id", "part")
+    // Ledger-sketch inputs ride the SAME scan as the rule pass (one double /
+    // one 8-byte hash per sketch per row in the narrow cache) — the --sketch
+    // flag costs zero extra scans of the docs table.
+    val narrow = ValidationEngine.annotateNarrow(todo, rowRules, "doc_id", "part",
+      sketchPassthroughCols)
     val narrowP =
       if (config.persistAnnotations)
         narrow.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -205,6 +216,46 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
     * plan-shape tests); released by [[unpersistAll]]. */
   private[graft] var lastNarrow: Option[DataFrame] = None
 
+  /** Per-row sketch inputs appended to the narrow annotation so ledger
+    * sketches share the rule-pass scan: one double per KLL expr, one
+    * xxhash64 long per HLL expr. Names are sorted for a deterministic
+    * column order. */
+  private def sketchPassthroughCols: Seq[org.apache.spark.sql.Column] =
+    config.sketchExprs.toSeq.sortBy(_._1).map { case (n, c) =>
+      c.cast("double").as(s"__skv_$n") } ++
+    config.hllSketchExprs.toSeq.sortBy(_._1).map { case (n, c) =>
+      xxhash64(c).as(s"__hll_$n") }
+
+  /** Per-partition ledger sketch frame `(part, sketches, hll_sketches)`, or
+    * None when no sketch exprs are configured. Aggregates over the persisted
+    * narrow annotation when available (zero extra docs scans — plan-shape
+    * guarded); falls back to one column-pruned scan of the in-scope
+    * partitions when `persistAnnotations = false`. */
+  private[graft] def ledgerSketchFrame(
+      docs: DataFrame, inScopeParts: () => Seq[Int]): Option[DataFrame] = {
+    if (config.sketchExprs.isEmpty && config.hllSketchExprs.isEmpty) return None
+    val kNames = config.sketchExprs.keys.toSeq.sorted
+    val hNames = config.hllSketchExprs.keys.toSeq.sorted
+    val base = lastNarrow.getOrElse {
+      docs.where($"part".isin(inScopeParts(): _*))
+        .select($"part".cast("int").as("part") +: sketchPassthroughCols: _*)
+    }
+    val kll = graft.stats.Sketches.kllSketch()
+    val hll = graft.stats.Sketches.hllSketch()
+    val aggs = kNames.map(n => kll(col(s"__skv_$n")).as(s"__sk_$n")) ++
+               hNames.map(n => hll(col(s"__hll_$n")).as(s"__hsk_$n"))
+    val grouped = base.groupBy($"part").agg(aggs.head, aggs.tail: _*)
+    val nullMap = lit(null).cast(
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.BinaryType))
+    val kMap = if (kNames.isEmpty) nullMap
+      else map(kNames.flatMap(n => Seq(lit(n), col(s"__sk_$n"))): _*)
+    val hMap = if (hNames.isEmpty) nullMap
+      else map(hNames.flatMap(n => Seq(lit(n), col(s"__hsk_$n"))): _*)
+    Some(grouped.select($"part", kMap.as("sketches"), hMap.as("hll_sketches")))
+  }
+
   /** Release every frame persisted by the last [[run]] (callers additionally
     * unpersist the violations frame they received). */
   def unpersistAll(): Unit = {
@@ -250,25 +301,25 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
         lit(config.runId).as("run_id"), $"part", $"status",
         $"total_rows", $"failed".as("failed_rows"),
         coalesce($"__viol_n", lit(0L)).as("violations"), lit(wallMs).as("wall_ms"))
-      // Optional per-partition KLL quantile sketches (north rule "drift over
-      // quantile sketches"): one extra column-pruned scan of the in-scope
-      // partitions, exported as map<name, serialized sketch> — merged across
-      // partitions/runs by Drift.mergeLedgerSketches without re-scanning.
-      val withSketches =
-        if (config.sketchExprs.isEmpty) ledger
-        else {
-          val kll = graft.stats.Sketches.kllSketch()
-          val names = config.sketchExprs.keys.toSeq.sorted
-          val parts = verdicts.select($"part").as[Int].collect().toSeq
-          val aggs = names.map(n =>
-            kll(config.sketchExprs(n).cast("double")).as(s"__sk_$n"))
-          val sk = docs.where($"part".isin(parts: _*))
-            .groupBy($"part".cast("int").as("part"))
-            .agg(aggs.head, aggs.tail: _*)
-            .select($"part",
-              map(names.flatMap(n => Seq(lit(n), col(s"__sk_$n"))): _*).as("sketches"))
-          ledger.join(sk, Seq("part"), "left")
-        }
+      // Optional per-partition sketches (north rule "drift over quantile
+      // sketches" + SURVEY §2.11 persisted HLL): KLL quantile sketches and
+      // HLL distinct-count registers, aggregated from the PERSISTED narrow
+      // annotation (the sketch inputs rode the rule-pass scan) — zero extra
+      // scans of the docs table; merged across partitions/runs by
+      // Drift.mergeLedgerSketches / Drift.mergeLedgerHll without re-scanning.
+      // Both map columns are ALWAYS present (null when unconfigured) so the
+      // ledger parquet schema is stable across runs with/without --sketch
+      // (ADVICE r3: a mixed-schema ledger dir breaks plain spark.read).
+      val nullMap = lit(null).cast(
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.BinaryType))
+      val withSketches = ledgerSketchFrame(docs,
+          () => verdicts.select($"part").as[Int].collect().toSeq) match {
+        case Some(sk) => ledger.join(sk, Seq("part"), "left")
+        case None => ledger.withColumn("sketches", nullMap)
+                           .withColumn("hll_sketches", nullMap)
+      }
       withSketches.write.mode(SaveMode.Append).parquet(lp)
     }
     verdicts.unpersist()

@@ -122,16 +122,23 @@ object ValidationEngine {
     * BOTH the violation artifact ([[violationsFromNarrow]]) and the
     * per-partition verdict aggregation can be derived, so the engine scans
     * the (wide) docs table ONCE for all row-level rules and caches only these
-    * few bytes per row. */
+    * few bytes per row.
+    *
+    * `extraCols` appends additional per-row expressions (evaluated against
+    * the ORIGINAL columns) to the narrow shape — used by the engine to ride
+    * ledger-sketch inputs (a double / an 8-byte hash per sketch) on the same
+    * single scan instead of re-reading the docs table. */
   def annotateNarrow(df: DataFrame, rules: Seq[BoundRule],
-                     idCol: String, partCol: String): DataFrame = {
+                     idCol: String, partCol: String,
+                     extraCols: Seq[Column] = Nil): DataFrame = {
     val annotated = annotate(df, rules)
     val cols: Seq[Column] =
       Seq(col(idCol).cast("string").as("doc_id"),
           col(partCol).cast("int").as("part"), col(StatusCol)) ++
       rules.zipWithIndex.map { case (_, i) => col(maskCol(i)) } ++
       rules.zipWithIndex.map { case (r, i) =>
-        offendingOffset(r.spec).as(s"__off_$i") }
+        offendingOffset(r.spec).as(s"__off_$i") } ++
+      extraCols
     annotated.select(cols: _*)
   }
 

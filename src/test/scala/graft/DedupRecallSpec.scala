@@ -85,6 +85,18 @@ class DedupRecallSpec extends SparkSpec {
       s"routed recall ${got.size}/${want.size} below floor")
   }
 
+  test("sCurveRecall: the telemetry estimate the banded route logs is the LSH S-curve") {
+    // the (r=2, b=24) default the route logs: 1 − (1 − J^r)^b
+    assert(math.abs(Dedup.sCurveRecall(0.3, 2, 24) - 0.8960) < 5e-4)
+    assert(Dedup.sCurveRecall(0.9, 2, 24) > 0.999999) // near-dup regime ~certain
+    assert(Dedup.sCurveRecall(0.5, 2, 24) > 0.998)    // mid-band still ≥99.8%
+    // monotone in J, r fixed — more bands only ever helps
+    assert(Dedup.sCurveRecall(0.4, 2, 24) > Dedup.sCurveRecall(0.3, 2, 24))
+    assert(Dedup.sCurveRecall(0.3, 2, 48) > Dedup.sCurveRecall(0.3, 2, 24))
+    // and the realized fixture behavior matches the estimate's regime: the
+    // measured recall floor (≥0.85 above) sits at/above the J=0.3 estimate
+  }
+
   test("simhashPairs is exact: pigeonhole blocks equal brute-force hamming ≤ 3") {
     val df = docs.toDF("doc_id", "text")
     val sigs = df.select($"doc_id", Dedup.simhash($"text", bits = 32).as("sig"))

@@ -121,6 +121,67 @@ class GoldenEngineSpec extends SparkSpec {
     assert(got.values.sum === artifactRows)
   }
 
+  test("ledger schema is stable across --sketch on/off (both map columns always present)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledger-s").toString
+    // run 1: no sketches; run 2 (same ledger dir): KLL + HLL sketches on —
+    // a mixed-schema parquet dir would break plain spark.read (ADVICE r3)
+    new ValidationRun(spark, EngineConfig(rules = rowRules,
+        ledgerDir = Some(dir), runId = "off"))
+      .runAndWrite(docs, Some(assets), s"$dir/out1")
+    new ValidationRun(spark, EngineConfig(rules = rowRules,
+        ledgerDir = Some(dir), runId = "on",
+        sketchExprs = Map("n_spans" -> size($"spans").cast("double")),
+        hllSketchExprs = Map("doc_id" -> $"doc_id")))
+      .runAndWrite(docs, Some(assets), s"$dir/out2")
+    val ledger = spark.read.parquet(s"$dir/ledger")
+    assert(ledger.columns.contains("sketches") && ledger.columns.contains("hll_sketches"))
+    // sketchless run: both maps null; sketched run: both populated
+    assert(ledger.where($"run_id" === "off" && $"sketches".isNotNull).count() === 0)
+    assert(ledger.where($"run_id" === "on" && ($"sketches".isNull || $"hll_sketches".isNull)).count() === 0)
+  }
+
+  test("HLL ledger sketches: per-partition registers merge to the exact distinct count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledger-h").toString
+    val pq = Fixtures.docsPq(spark, 3000, 4)
+    new ValidationRun(spark, EngineConfig(rules = rowRules,
+        ledgerDir = Some(dir), runId = "h1",
+        sketchExprs = Map("n_spans" -> size($"spans").cast("double")),
+        hllSketchExprs = Map("doc_id" -> $"doc_id")))
+      .runAndWrite(pq, Some(assets), s"$dir/out")
+    val ledger = spark.read.parquet(s"$dir/ledger")
+    assert(ledger.where($"run_id" === "h1").count() === 4) // one row per partition
+    val merged = graft.stats.Drift.mergeLedgerHll(ledger, "h1", "doc_id").get
+    val exact = pq.select(countDistinct($"doc_id")).as[Long].collect().head
+    assert(math.abs(merged - exact) <= math.max(2L, (0.05 * exact).toLong),
+      s"merged HLL estimate $merged vs exact $exact")
+    // merge-of-per-partition-registers == one whole-table sketch (exactly):
+    // register-wise max is associative and the hash is the same
+    val hll = graft.stats.Sketches.hllSketch()
+    val whole = pq.agg(hll(xxhash64($"doc_id")).as("s"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(merged === graft.stats.Sketches.mergeHllSketches(Seq(whole)))
+  }
+
+  test("ledger sketch frame aggregates the persisted narrow pass (zero extra docs scans)") {
+    val pq = Fixtures.docsPq(spark, 2000, 4)
+    val cfg = EngineConfig(rules = rowRules,
+      sketchExprs = Map("n_spans" -> size($"spans").cast("double")),
+      hllSketchExprs = Map("doc_id" -> $"doc_id"))
+    val run = new ValidationRun(spark, cfg)
+    val (verdicts, viols) = run.run(pq, Some(Fixtures.assets(spark)))
+    viols.count() // materialize the narrow cache
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val sk = run.ledgerSketchFrame(pq, () => Seq(0, 1, 2, 3)).get
+    val scans = sk.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l }.size
+    assert(scans === 0,
+      s"--sketch must ride the rule-pass scan, found $scans parquet scans:\n" +
+      sk.queryExecution.optimizedPlan)
+    assert(sk.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
+    assert(sk.count() === 4)
+    viols.unpersist(); run.unpersistAll()
+  }
+
   test("run() plan shape: verdicts reuse the cached rule pass (no re-scan of docs)") {
     val pq = Fixtures.docsPq(spark, 2000, 4)
     val cfg = EngineConfig(rules = rowRules)

@@ -58,9 +58,16 @@ class JobCountSpec extends SparkSpec {
     assert(n <= 6, s"uniqueness ran $n jobs (should be 2 aggs + AQE stages)")
   }
 
-  test("semantic Detector.detectTypes: one sampled agg (no full-table scans)") {
+  test("semantic Detector.detectTypes: one full-table card agg + one sampled rate agg") {
+    // r4 shape: job 1 = count + all approx_count_distinct in ONE wide agg
+    // (reference-faithful full-column cardinality ratio, ADVICE r3), job 2 =
+    // seeded-sample rate agg; r2 ran 3 (count, sample agg, card agg)
+    // AQE stages each agg action as 2 jobs → 4 total for 2 aggs; the guard
+    // is that the count never grows with column count (7 cols here)
     val n = jobs { graft.semantic.Detector.detectTypes(wide) }
-    assert(n <= 2, s"Detector.detectTypes ran $n jobs (r2 shape was 3: count + sample agg + card agg)")
+    assert(n <= 4, s"Detector.detectTypes ran $n jobs (expected 2 agg actions)")
+    val n2 = jobs { graft.semantic.Detector.detectTypes(wide.select($"a", $"s1")) }
+    assert(n === n2, s"job count grew with columns: $n2 (2 cols) vs $n (7 cols)")
   }
 
   test("SemanticValidators.validate: counts AND examples in one agg job") {
@@ -74,5 +81,17 @@ class JobCountSpec extends SparkSpec {
   test("Profiler.modes: all columns in one melted agg, not one job per column") {
     val n = jobs { Profiler.modes(wide, Seq("s1", "s2", "s3")) }
     assert(n <= 3, s"modes ran $n jobs for 3 columns (per-column shape is ~2 jobs each)")
+  }
+
+  test("Drift.checkMany: job count independent of column count (one wide agg per side)") {
+    val base = wide.select($"b", $"c", $"d")
+    val cur = wide.select(($"b" * 1.1).as("b"), $"c", ($"d" + 5).as("d"))
+    // AQE stages an ObjectHashAggregate action as 2 jobs, so the absolute
+    // count is 4 (2 per side); the guard is that it does NOT grow with N —
+    // the r3 per-column shape would be ~4 jobs PER column
+    val n1 = jobs { graft.stats.Drift.checkMany(base, cur, Seq("b")) }
+    val n3 = jobs { graft.stats.Drift.checkMany(base, cur, Seq("b", "c", "d")) }
+    assert(n3 === n1, s"checkMany ran $n3 jobs for 3 columns vs $n1 for 1")
+    assert(n3 <= 4, s"checkMany ran $n3 jobs (expected 2 agg actions)")
   }
 }
