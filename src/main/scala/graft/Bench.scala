@@ -70,7 +70,8 @@ object Bench {
 
     // ---- per-query timings (full plan execution via noop sink)
     val engineOnly = sys.env.get("SPARK_GRAFT_ENGINE_ONLY").contains("1")
-    val results: Seq[(String, Double)] = if (engineOnly) Seq.empty else {
+    val results: Seq[(String, Seq[(Double, Double, Double)])] =
+      if (engineOnly) Seq.empty else {
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -97,12 +98,20 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
       }
+      // Two timed reps per query with wall/GC/process-CPU per rep (VERDICT r3
+      // item 2): a sandbox slow episode on one rep is visible in the
+      // `query_legs` telemetry and adjudicable from the artifact, instead of
+      // polluting a single untimed measurement. Reported time = min of reps.
       val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try execute(fn(spark, sfDir))
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
+        val legs = (1 to 2).map { _ =>
+          val (gc0, cpu0) = (gcMs, cpuNs)
+          val t0 = System.nanoTime()
+          try execute(fn(spark, sfDir))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+          ((System.nanoTime() - t0) / 1e9, (gcMs - gc0) / 1e3, (cpuNs - cpu0) / 1e9)
+        }
+        name -> legs
       }
       spark.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -152,12 +161,17 @@ object Bench {
     val engineSec = reps.map(_._1).min
     val docsPerSec = nDocs / engineSec
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    def legsJson(ls: Seq[(Double, Double, Double)]): String =
+      ls.map { case (s, g, c) =>
+        f"""{"sec":$s%.2f,"gc_sec":$g%.2f,"cpu_sec":$c%.1f}""" }
+        .mkString("[", ",", "]")
+    // "queries" stays name → best-of-reps seconds (driver contract); the new
+    // "query_legs" carries every rep's wall/gc/cpu for outlier adjudication
+    val qs = results.map { case (k, ls) =>
+      "\"" + k + f"\":${ls.map(_._1).min}%.3f" }.mkString("{", ",", "}")
+    val qLegs = results.map { case (k, ls) => "\"" + k + "\":" + legsJson(ls) }
       .mkString("{", ",", "}")
-    val legs = reps.map { case (s, g, c) =>
-      f"""{"sec":$s%.2f,"gc_sec":$g%.2f,"cpu_sec":$c%.1f}""" }
-      .mkString("[", ",", "]")
-    val total = results.map(_._2).sum + reps.map(_._1).sum
-    println(f"""{"metric":"docs_validated_per_sec","value":$docsPerSec%.0f,"unit":"docs/sec","total_sec":$total%.2f,"engine_sec":$engineSec%.2f,"engine_docs":$nDocs,"engine_legs":$legs,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2.map(_._1).sum).sum + reps.map(_._1).sum
+    println(f"""{"metric":"docs_validated_per_sec","value":$docsPerSec%.0f,"unit":"docs/sec","total_sec":$total%.2f,"engine_sec":$engineSec%.2f,"engine_docs":$nDocs,"engine_legs":${legsJson(reps.toSeq)},"cpus":$cpus,"queries":$qs,"query_legs":$qLegs,"sf":"$sfDir"}""")
   }
 }
