@@ -51,6 +51,35 @@ object Bench {
     s
   }
 
+  /** Per-leg task-metrics telemetry: aggregate input / shuffle bytes and
+    * executor CPU across every task that ends while attached. Gives each
+    * bench leg a measured bytes-moved figure, so "this leg is
+    * bandwidth-bound" is evidenced from the artifact (bytes/wall vs the
+    * machine's streaming ceiling) instead of inferred from CPU inflation. */
+  final class TaskMetricsProbe extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val inputBytes = new AtomicLong; val shuffleRead = new AtomicLong
+    val shuffleWrite = new AtomicLong; val execCpuNs = new AtomicLong
+    val execRunMs = new AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        inputBytes.addAndGet(m.inputMetrics.bytesRead)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        execCpuNs.addAndGet(m.executorCpuTime)
+        execRunMs.addAndGet(m.executorRunTime)
+      }
+    }
+    /** (inputGB, shuffleReadGB, shuffleWriteGB, execCpuSec, execRunSec) —
+      * call ~after the leg; the listener bus drains async, so callers sleep
+      * briefly before reading. */
+    def snapshot: (Double, Double, Double, Double, Double) =
+      (inputBytes.get / 1e9, shuffleRead.get / 1e9, shuffleWrite.get / 1e9,
+       execCpuNs.get / 1e9, execRunMs.get / 1e3)
+  }
+
   private def gcMs: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory

@@ -96,7 +96,15 @@ case class EngineConfig(
       * (SURVEY §2.11 "HLL sketch persisted per partition and merged later").
       * A null value contributes one distinct value (xxhash64 seed), matching
       * the q26 convention; pre-filter the expr to exclude nulls. */
-    hllSketchExprs: Map[String, org.apache.spark.sql.Column] = Map.empty)
+    hllSketchExprs: Map[String, org.apache.spark.sql.Column] = Map.empty,
+    /** Aliased per-row expressions appended to the narrow rule-pass
+      * projection and exposed via `ValidationRun.lastNarrow` — lets a caller
+      * compute CONTENT outputs (dedup signatures, token stats, quality
+      * features) on the SAME scan that evaluates the validation rules,
+      * instead of re-reading the wide docs table for a second pass. At
+      * 100 TB the second decode of the spans column is the single largest
+      * avoidable cost of a validate-then-fingerprint pipeline. */
+    passthroughExprs: Seq[org.apache.spark.sql.Column] = Nil)
 
 /**
  * Per-partition validation orchestrator (SURVEY §3 EP1/EP2 Spark shape).
@@ -160,7 +168,7 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
     // one 8-byte hash per sketch per row in the narrow cache) — the --sketch
     // flag costs zero extra scans of the docs table.
     val narrow = ValidationEngine.annotateNarrow(todo, rowRules, "doc_id", "part",
-      sketchPassthroughCols)
+      sketchPassthroughCols ++ config.passthroughExprs)
     val narrowP =
       if (config.persistAnnotations)
         narrow.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

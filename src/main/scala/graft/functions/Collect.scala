@@ -20,11 +20,16 @@ import org.apache.spark.sql.functions.udaf
 class CappedMinCollect(cap: Int) extends Aggregator[String, Seq[String], Seq[String]] {
   require(cap > 0)
   def zero: Seq[String] = Vector.empty
-  def reduce(b: Seq[String], v: String): Seq[String] =
-    if (v == null || b.contains(v)) b
-    else if (b.size < cap) (b :+ v).sorted
-    else if (v < b.last) (b.init :+ v).sorted
-    else b
+  // buffer invariant: sorted ascending, ≤ cap values. Most rows exit on the
+  // cheap `v >= last` rejection; an accepted value pays one O(cap) ordered
+  // insertion, not the O(cap·log cap) full re-sort a naive append-and-sort
+  // pays per row — matters if a caller raises cap for wider example sets.
+  def reduce(b: Seq[String], v: String): Seq[String] = {
+    if (v == null || (b.size == cap && v >= b.last) || b.contains(v)) return b
+    val at = b.indexWhere(_ > v) match { case -1 => b.size; case i => i }
+    val ins = (b.take(at) :+ v) ++ b.drop(at)
+    if (ins.size > cap) ins.init else ins
+  }
   def merge(a: Seq[String], b: Seq[String]): Seq[String] =
     (a ++ b).distinct.sorted.take(cap)
   def finish(s: Seq[String]): Seq[String] = s

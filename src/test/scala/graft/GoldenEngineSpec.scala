@@ -182,6 +182,40 @@ class GoldenEngineSpec extends SparkSpec {
     viols.unpersist(); run.unpersistAll()
   }
 
+  test("passthroughExprs: content stats ride the rule-pass scan, text concat evaluated once") {
+    val pq = Fixtures.docsPq(spark, 2000, 4)
+    // the ScalingBench leg shape: span-text materialized below the rule pass,
+    // three content stats riding the narrow annotation
+    val prepped = pq.withColumn("__text",
+      graft.functions.F.spanText($"spans"))
+    val cfg = EngineConfig(rules = rowRules, passthroughExprs = Seq(
+      graft.functions.F.tokenStats($"__text").as("__ts"),
+      graft.functions.F.minhashSig($"__text", 8, 3, portable = false).as("__mh"),
+      graft.functions.F.simhash($"__text", 32, portable = false).as("__sh")))
+    val run = new ValidationRun(spark, cfg)
+    val (verdicts, viols) = run.run(prepped, Some(Fixtures.assets(spark)))
+    val narrow = run.lastNarrow.get
+    // the narrow pass must still be ONE scan of the docs table (analyzed
+    // plan: optimizedPlan is already cache-substituted to InMemoryRelation),
+    // and CollapseProject must NOT inline the shared __text alias into its
+    // three consumers (that would evaluate SpanTextConcat 3× per row) — the
+    // InMemoryRelation's cached plan string shows the post-optimization tree
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    assert(narrow.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l }.size === 1)
+    val concats = "spantextconcat".r
+      .findAllIn(narrow.queryExecution.optimizedPlan.toString.toLowerCase).size
+    assert(concats === 1,
+      s"SpanTextConcat appears $concats times in the optimized plan (want 1):\n" +
+      narrow.queryExecution.optimizedPlan)
+    // and the content columns come back out of the cache with sane values
+    viols.count() // materialize cache
+    val row = narrow.select($"__ts", $"__mh", $"__sh").where($"__ts".isNotNull).head()
+    assert(row.getAs[org.apache.spark.sql.Row]("__ts") != null)
+    assert(row.getAs[Seq[Long]]("__mh").size === 8)
+    viols.unpersist(); run.unpersistAll()
+  }
+
   test("run() plan shape: verdicts reuse the cached rule pass (no re-scan of docs)") {
     val pq = Fixtures.docsPq(spark, 2000, 4)
     val cfg = EngineConfig(rules = rowRules)
