@@ -308,6 +308,17 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
     }),
 
+    // IVF (coarse-quantized) ANN — the clustered-data scale path (rows-only;
+    // SimilaritySpec asserts exact degradation at nProbe=nCells + recall)
+    "q19c_ivf_ann" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopK(emb, q, "vec_id", "embedding", "q_id", "q_vec", 1,
+        nCells = 8, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+    }),
+
     // embedding near-duplicates (rows-only)
     "q21_embedding_neardup" -> ((s, dir) => {
       // testdata embeddings are near-random (max pairwise cos ≈ 0.51), so the

@@ -92,6 +92,96 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  // ------------------------------------------------------------------- IVF
+
+  /** Deterministic coarse quantizer for [[ivfTopK]]: k-means (Lloyd) trained
+    * driver-side on a bounded sample — a PLANNING step, like the type
+    * detector's sample: O(sample·k·d) on the driver, two bounded jobs on the
+    * cluster (dim probe + sample collect), never an iterative cluster-wide
+    * k-means. Seeds are index-strided over the sample (no RNG), empty cells
+    * reseed to the farthest point, so centroids are identical across runs. */
+  def trainCentroids(df: DataFrame, vecCol: String, k: Int, iters: Int = 8,
+                     sampleRows: Int = 2048): Array[Array[Double]] = {
+    val rows = df.select(col(vecCol).cast("array<double>").as("v"))
+      .where(size(col("v")) > 0).limit(sampleRows)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, s"no non-empty vectors in $vecCol")
+    val n = rows.length; val dims = rows(0).length
+    val kk = math.min(k, n)
+    var cents = Array.tabulate(kk)(j => rows(j * n / kk).clone())
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dims) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(kk)(new Array[Double](dims))
+      val counts = new Array[Int](kk)
+      rows.foreach { v =>
+        val j = cents.indices.minBy(j => d2(v, cents(j)))
+        counts(j) += 1
+        var i = 0; while (i < dims) { sums(j)(i) += v(i); i += 1 }
+      }
+      cents = cents.indices.map { j =>
+        if (counts(j) == 0) rows.maxBy(v => cents.map(d2(v, _)).min).clone()
+        else { val m = sums(j); var i = 0
+               while (i < dims) { m(i) /= counts(j); i += 1 }; m }
+      }.toArray
+    }
+    cents
+  }
+
+  /** The `nProbe` centroid cells nearest to `v` by cosine (array of cell
+    * ids, best first). Centroid math is literal-vector dot products — the
+    * same zero-shuffle, codegen-friendly shape as [[planeBit]]. With
+    * `nProbe = 1` this is the corpus-side cell assignment. */
+  def nearestCells(v: Column, centroids: Array[Array[Double]],
+                   nProbe: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, j) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      // negated cosine so array_sort(asc) yields best-first; |v| is constant
+      // across cells for one row, so dividing by it never changes the order
+      struct((dot(v, typedLit(c.toSeq)) / lit(if (cn == 0) 1.0 else -cn))
+               .as("neg"),
+             lit(j).as("cell"))
+    }: _*)
+    slice(transform(array_sort(scored), s => s.getField("cell")),
+      1, math.min(nProbe, centroids.length))
+  }
+
+  /** IVF (inverted-file) approximate top-k — the clustered-data scale path
+    * next to [[lshTopK]]'s data-oblivious hyperplanes: corpus rows are
+    * bucketed by nearest coarse centroid (ONE projection, literal centroid
+    * vectors), queries probe their `nProbe` nearest cells, and exact cosine
+    * runs only inside probed cells. Shuffle is on the cell key; cell skew is
+    * AQE's skew-join case. `nProbe = nCells` degrades gracefully to EXACT
+    * brute force (every cell probed — asserted in SimilaritySpec), so recall
+    * is a dial, not a cliff. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+              k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val dims = vecDims(corpus, vecCol)
+    if (dims == 0)
+      return corpus.limit(0).select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("cos"), lit(0).as("rank"))
+    val cents = trainCentroids(corpus, vecCol, nCells)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("cn"),
+      nearestCells(col(vecCol), cents, 1)(0).as("cell"))
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
+        sqrt(dot(col(qVecCol), col(qVecCol))).as("qn"),
+        explode(nearestCells(col(qVecCol), cents, nProbe)).as("cell"))
+    val joined = c.join(q, "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("qn") * col("cn") === 0.0, lit(0.0))
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    // each corpus row lives in exactly ONE cell, so a (query, neighbor)
+    // pair joins at most once even with nProbe > 1 — no dedup needed
+    joined.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the query's bucket.
     * Same output shape as [[bruteForceTopK]]; recall < 1 by design. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
