@@ -127,10 +127,13 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
 
   private def ledgerPath(run: String) = config.ledgerDir.map(d => s"$d/ledger")
 
-  /** Partitions already completed in a previous attempt of this run. */
+  /** Partitions already completed in a previous attempt of this run.
+    * `mergeSchema` so a ledger dir whose older rows predate the always-on
+    * sketch columns (pre-r4 schema) still reads cleanly. */
   def completedPartitions(): Set[Int] = ledgerPath(config.runId) match {
     case Some(p) =>
-      try spark.read.parquet(p).where($"run_id" === config.runId)
+      try spark.read.option("mergeSchema", "true").parquet(p)
+        .where($"run_id" === config.runId)
         .select("part").as[Int].collect().toSet
       catch { case _: Throwable => Set.empty }
     case None => Set.empty
