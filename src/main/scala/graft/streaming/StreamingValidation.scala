@@ -65,6 +65,17 @@ object StreamingValidation {
     }
   }
 
+  /** Watermarked streaming dedup on `keyCol` — the streaming face of the
+    * batch engine's uniqueness rule: state is bounded by the watermark
+    * horizon (keys older than `watermark` are evicted), so this is the
+    * keep-first analogue for ingestion pipelines, NOT the batch
+    * `duplicated(keep=False)` global rule (that one needs the full key set
+    * and runs in the batch engine's salted agg). */
+  def dedupStream(stream: DataFrame, keyCol: String, eventTimeCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    stream.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Watermarked per-(window, part) verdict counts — the streaming analogue
     * of the batch per-partition verdict row. `eventTimeCol` must be a
     * timestamp column on the stream; late data beyond `watermark` is

@@ -72,6 +72,25 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((0, 7L, 3L, "FAIL"), (1, 5L, 4L, "FAIL")))
   }
 
+  test("dedupStream drops duplicate doc_ids within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val withTs = mem.toDF().withColumn("ts",
+      to_timestamp(lit("2026-01-01 00:00:30")))
+    val out = StreamingValidation.dedupStream(
+      withTs.where($"doc_id".isNotNull), "doc_id", "ts")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(Fixtures.goldenDocs)
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_stream").select($"doc_id").as[String].collect()
+    assert(ids.length === ids.distinct.length, "duplicates survived")
+    // both dup-1 rows arrived in the batch; exactly one survives
+    assert(ids.count(_ == "dup-1") === 1)
+  }
+
   test("global-state rules are rejected on streams with a actionable message") {
     val ex = intercept[IllegalArgumentException] {
       StreamingValidation.annotate(Fixtures.goldenDocsDf(spark),
