@@ -116,7 +116,12 @@ case class AuditEntry(run_id: String, stage: String, status: String,
                       rows_in: Long, rows_out: Long, detail: String)
 
 /** Checkpoint-ledger row: one per processed partition; presence ⇒ the
-  * partition is complete and is skipped on resume (SURVEY §7 resumability). */
+  * partition is complete and is skipped on resume (SURVEY §7 resumability) —
+  * but only when `rules_hash` matches the resuming config's rule set, so a
+  * rule edit between attempts forces re-validation instead of silently
+  * mixing verdicts from two suites. The parquet row additionally carries
+  * the always-present `sketches` / `hll_sketches` map columns (null when
+  * unconfigured). */
 case class LedgerEntry(run_id: String, part: Int, status: String,
                        total_rows: Long, failed_rows: Long, violations: Long,
-                       wall_ms: Long)
+                       wall_ms: Long, rules_hash: String)

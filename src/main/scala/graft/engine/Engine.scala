@@ -127,14 +127,35 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
 
   private def ledgerPath(run: String) = config.ledgerDir.map(d => s"$d/ledger")
 
+  /** Deterministic fingerprint of the configured rule set (ids + reasons,
+    * order-independent). Written to every ledger row; resume TRUSTS a
+    * completed partition only if it was validated under the SAME rules —
+    * otherwise a rule-set edit between attempts would silently mix verdicts
+    * from two different suites in one output. */
+  private[graft] def rulesHash: String = {
+    val canon = config.rules.map(r => s"${r.spec.ruleId}|${r.reason}").sorted
+      .mkString(";") + s"|uniq=${config.uniquenessKey}|ri=${config.checkReferentialIntegrity}"
+    java.lang.Long.toHexString(
+      graft.functions.Hashing.md5_60(canon.getBytes("UTF-8")))
+  }
+
   /** Partitions already completed in a previous attempt of this run.
     * `mergeSchema` so a ledger dir whose older rows predate the always-on
-    * sketch columns (pre-r4 schema) still reads cleanly. */
+    * sketch columns (pre-r4 schema) still reads cleanly. Rows with a
+    * `rules_hash` different from the current config are NOT treated as
+    * complete (they were validated under different rules and must be
+    * re-validated); legacy rows without the column are trusted. */
   def completedPartitions(): Set[Int] = ledgerPath(config.runId) match {
     case Some(p) =>
-      try spark.read.option("mergeSchema", "true").parquet(p)
-        .where($"run_id" === config.runId)
-        .select("part").as[Int].collect().toSet
+      try {
+        val df = spark.read.option("mergeSchema", "true").parquet(p)
+          .where($"run_id" === config.runId)
+        val filtered =
+          if (df.columns.contains("rules_hash"))
+            df.where($"rules_hash".isNull || $"rules_hash" === rulesHash)
+          else df
+        filtered.select("part").as[Int].collect().toSet
+      }
       catch { case _: Throwable => Set.empty }
     case None => Set.empty
   }
@@ -311,7 +332,8 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
       val ledger = verdicts.join(violsPerPart, Seq("part"), "left").select(
         lit(config.runId).as("run_id"), $"part", $"status",
         $"total_rows", $"failed".as("failed_rows"),
-        coalesce($"__viol_n", lit(0L)).as("violations"), lit(wallMs).as("wall_ms"))
+        coalesce($"__viol_n", lit(0L)).as("violations"), lit(wallMs).as("wall_ms"),
+        lit(rulesHash).as("rules_hash"))
       // Optional per-partition sketches (north rule "drift over quantile
       // sketches" + SURVEY §2.11 persisted HLL): KLL quantile sketches and
       // HLL distinct-count registers, aggregated from the PERSISTED narrow

@@ -107,6 +107,21 @@ class GoldenEngineSpec extends SparkSpec {
     assert(failedTotal === 10L)
   }
 
+  test("resume does NOT trust partitions validated under a different rule set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledger-rh").toString
+    val cfgA = EngineConfig(rules = rowRules, ledgerDir = Some(dir), runId = "r1")
+    new ValidationRun(spark, cfgA)
+      .runAndWrite(docs, Some(assets), s"$dir/out", limitParts = Some(Seq(0)))
+    // same run id, EDITED rule set (one rule dropped): part 0 must not be
+    // treated as complete — its verdicts came from a different suite
+    val cfgB = EngineConfig(rules = rowRules.init, ledgerDir = Some(dir), runId = "r1")
+    val runB = new ValidationRun(spark, cfgB)
+    assert(runB.completedPartitions() === Set.empty)
+    // while an identical rule set resumes as before
+    val runA2 = new ValidationRun(spark, cfgA)
+    assert(runA2.completedPartitions() === Set(0))
+  }
+
   test("ledger carries real per-partition violation counts (r2 stubbed -1)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ledger-v").toString
     val cfg = EngineConfig(rules = rowRules, ledgerDir = Some(dir), runId = "rv")
