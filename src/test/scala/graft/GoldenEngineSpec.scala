@@ -107,6 +107,39 @@ class GoldenEngineSpec extends SparkSpec {
     assert(failedTotal === 10L)
   }
 
+  test("limitParts prunes at the FILE level on a part-partitioned table") {
+    // the input contract is an Iceberg-style part-partitioned table; the
+    // engine's partFilter must reach the scan as a partition filter so a
+    // resumed run lists/reads only pending partitions' files, not 10^12 docs
+    val dir = java.nio.file.Files.createTempDirectory("graft-pruned").toString
+    graft.fixtures.Fixtures.docs(spark, 2000, 4)
+      .write.partitionBy("part").mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val cfg = EngineConfig(rules = rowRules, uniquenessKey = None,
+      checkReferentialIntegrity = false, persistAnnotations = false)
+    val run = new ValidationRun(spark, cfg)
+    val (_, viols) = run.run(docs, None, limitParts = Some(Seq(1)))
+    viols.count() // finalize the adaptive plan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // collect() stops at AdaptiveSparkPlanExec and at the violations cache
+    // (run() caches the violations union): recurse through both wrappers
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case f: FileSourceScanExec => Seq(f)
+                  case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+                  case im: InMemoryTableScanExec => scans(im.relation.cachedPlan)
+                }.flatten
+    val ss = scans(viols.queryExecution.executedPlan)
+    assert(ss.nonEmpty)
+    ss.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"scan has no partition filters: ${s.metadata}")
+      assert(s.selectedPartitions.partitionCount === 1,
+        s"scan read ${s.selectedPartitions.partitionCount} of 4 partitions")
+    }
+  }
+
   test("resume does NOT trust partitions validated under a different rule set") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ledger-rh").toString
     val cfgA = EngineConfig(rules = rowRules, ledgerDir = Some(dir), runId = "r1")
