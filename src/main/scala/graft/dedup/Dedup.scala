@@ -202,15 +202,26 @@ object Dedup {
     val prefixLen = (n - ceil(n * lit(minJaccard)) + 1).cast("int")
     val withPrefix = sh.select(col("id"), col("sh"), n.as("n"),
       slice(col("sh"), lit(1), prefixLen).as("prefix"))
-    val tokens = withPrefix.select(col("id"), col("n"), explode(col("prefix")).as("tok"))
-    // length filter (exactness-preserving): J ≥ t ⇒ |∩| ≥ t·|∪| ≥ t·max(|a|,|b|)
-    // and |∩| ≤ min(|a|,|b|), so min ≥ t·max — prunes size-mismatched pairs
-    // before the distinct/verify stages
+    val tokens = withPrefix.select(col("id"), col("n"),
+      posexplode(col("prefix")).as(Seq("pos", "tok")))
+    // Two exactness-preserving candidate prunes (AllPairs/PPJoin, public
+    // literature — Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    //  - length filter: J ≥ t ⇒ |∩| ≥ t·|∪| ≥ t·max(|a|,|b|) and
+    //    |∩| ≤ min(|a|,|b|), so min ≥ t·max prunes size-mismatched pairs;
+    //  - positional filter: if the shared token sits at 0-based prefix
+    //    position i in a and j in b (arrays share ONE canonical total
+    //    order), the overlap can't exceed 1 + min(|a|−i−1, |b|−j−1), which
+    //    must reach the equivalent overlap threshold α = ⌈t/(1+t)·(|a|+|b|)⌉.
+    // Both run inside the join condition, before the distinct/verify stages.
+    val alpha = ceil(lit(minJaccard) / (1 + minJaccard) *
+      (col("a.n") + col("b.n")))
     val cands = tokens.alias("a")
       .join(tokens.alias("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
           least(col("a.n"), col("b.n")).cast("double") >=
-            greatest(col("a.n"), col("b.n")) * minJaccard)
+            greatest(col("a.n"), col("b.n")) * minJaccard &&
+          (lit(1) + least(col("a.n") - col("a.pos") - 1,
+                          col("b.n") - col("b.pos") - 1)) >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     // re-join the (small) candidate set back to the shingle arrays; exact
     // verify — array_intersect/union are order-independent, so the canonical
