@@ -72,6 +72,29 @@ class PropertySpec extends AnyFunSuite {
     }, "md5-60")
   }
 
+  test("CappedMinCollect reduce/merge equal the sort-based reference under any order") {
+    val agg = new graft.functions.CappedMinCollect(3)
+    val vGen = Gen.listOf(Gen.oneOf(Gen.alphaStr.map(_.take(4)), Gen.const(null: String)))
+    check(Prop.forAll(vGen, vGen) { (xs, ys) =>
+      def ref(vs: Seq[String]) =
+        vs.filter(_ != null).distinct.sorted.take(3)
+      val a = xs.foldLeft(agg.zero)(agg.reduce)
+      val b = ys.foldLeft(agg.zero)(agg.reduce)
+      a == ref(xs) && agg.merge(a, b) == ref(xs ++ ys) &&
+        agg.merge(a, b) == agg.merge(b, a) // merge order never matters
+    }, "capped-min-collect")
+  }
+
+  test("banded-Jaccard S-curve recall estimate: bounds, monotonicity, closed form") {
+    val jGen = Gen.chooseNum(0.0, 1.0)
+    check(Prop.forAll(jGen, Gen.chooseNum(1, 8), Gen.chooseNum(1, 64)) { (j, r, b) =>
+      val p = graft.dedup.Dedup.sCurveRecall(j, r, b)
+      p >= 0.0 && p <= 1.0 &&
+        math.abs(p - (1.0 - math.pow(1.0 - math.pow(j, r), b))) < 1e-12 &&
+        p >= graft.dedup.Dedup.sCurveRecall(j, r, math.max(1, b - 1)) - 1e-12
+    }, "s-curve")
+  }
+
   test("tokenize matches Java regex split semantics") {
     val partGen = Gen.oneOf("a", "bb", " ", "\t", "\n", "c d", "", "x!", "  ")
     check(Prop.forAll(Gen.listOf(partGen)) { parts =>
