@@ -224,6 +224,18 @@ object Drift {
     else Some(Sketches.mergeHllSketches(rows.toIndexedSeq))
   }
 
+  /** Cross-RUN drift verdict for sketch `name` between two runs recorded in
+    * the same engine ledger — the full north-rule story with ZERO scans of
+    * the data: per-partition KLL sketches written during each validation
+    * run merge into one sketch per side, then KS/χ² on the driver. Returns
+    * None when either run has no sketch under `name`. */
+  def ledgerDrift(ledger: DataFrame, runA: String, runB: String, name: String,
+                  bins: Int = 16, alpha: Double = 1.358): Option[DriftReport] =
+    for {
+      a <- mergeLedgerSketches(ledger, runA, name)
+      b <- mergeLedgerSketches(ledger, runB, name)
+    } yield checkSketches(a, b, name, bins, alpha)
+
   /** χ² drift over a categorical column: value-count join on the (small)
     * union of categories, statistic on the driver. */
   def checkCategorical(baseline: DataFrame, current: DataFrame, c: String): Chi2Result = {

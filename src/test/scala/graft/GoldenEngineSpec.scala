@@ -155,6 +155,27 @@ class GoldenEngineSpec extends SparkSpec {
     assert(runA2.completedPartitions() === Set(0))
   }
 
+  test("cross-run drift from ledger sketches alone: zero re-scan of the data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledger-d").toString
+    val pq = Fixtures.docsPq(spark, 3000, 4)
+    def runWith(id: String, expr: org.apache.spark.sql.Column): Unit =
+      new ValidationRun(spark, EngineConfig(rules = rowRules,
+        ledgerDir = Some(dir), runId = id,
+        sketchExprs = Map("n_spans" -> expr)))
+        .runAndWrite(pq, Some(assets), s"$dir/out-$id")
+    runWith("base", size($"spans").cast("double"))
+    runWith("same", size($"spans").cast("double"))
+    runWith("shifted", (size($"spans") * 2 + 10).cast("double"))
+    val ledger = spark.read.parquet(s"$dir/ledger")
+    val quiet = graft.stats.Drift.ledgerDrift(ledger, "base", "same", "n_spans").get
+    val loud = graft.stats.Drift.ledgerDrift(ledger, "base", "shifted", "n_spans").get
+    assert(!quiet.ksDrifted && !quiet.chi2Drifted, quiet.toString)
+    assert(loud.ksDrifted && loud.chi2Drifted, loud.toString)
+    // and the drift evaluation itself never touches the docs table: the only
+    // parquet it reads is the (tiny) ledger
+    assert(graft.stats.Drift.ledgerDrift(ledger, "base", "missing", "n_spans").isEmpty)
+  }
+
   test("ledger carries real per-partition violation counts (r2 stubbed -1)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ledger-v").toString
     val cfg = EngineConfig(rules = rowRules, ledgerDir = Some(dir), runId = "rv")
