@@ -186,7 +186,25 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       reps += ((sec, (gcMs - gc0) / 1e3, (cpuNs - cpu0) / 1e9))
     }
+    // ---- written-artifact variant (VERDICT r4 item 4): the same headline
+    // job through runAndWrite — verdict + violation parquet artifacts and a
+    // checkpoint ledger durably on disk, exactly the BASELINE.json wording.
+    // One timed leg in the warm session; the noop reps above isolate the
+    // compute-side number the per-round trend tracks.
+    val writeDir = s"/tmp/graft_bench_out_${System.nanoTime()}"
+    val runW = new graft.engine.ValidationRun(s2,
+      cfg.copy(ledgerDir = Some(writeDir), runId = "bench-write"))
+    val tW0 = System.nanoTime()
+    runW.runAndWrite(docs, Some(assets), s"$writeDir/out")
+    val writeSec = (System.nanoTime() - tW0) / 1e9
     s2.stop()
+    locally { // artifacts measured durable; reclaim the tmp space
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(writeDir)
+      if (Files.exists(root))
+        Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
     val engineSec = reps.map(_._1).min
     val docsPerSec = nDocs / engineSec
 
@@ -201,6 +219,13 @@ object Bench {
     val qLegs = results.map { case (k, ls) => "\"" + k + "\":" + legsJson(ls) }
       .mkString("{", ",", "}")
     val total = results.map(_._2.map(_._1).sum).sum + reps.map(_._1).sum
-    println(f"""{"metric":"docs_validated_per_sec","value":$docsPerSec%.0f,"unit":"docs/sec","total_sec":$total%.2f,"engine_sec":$engineSec%.2f,"engine_docs":$nDocs,"engine_legs":${legsJson(reps.toSeq)},"cpus":$cpus,"queries":$qs,"query_legs":$qLegs,"sf":"$sfDir"}""")
+    val head = f""""metric":"docs_validated_per_sec","value":$docsPerSec%.0f,"unit":"docs/sec","total_sec":$total%.2f,"engine_sec":$engineSec%.2f,"engine_write_sec":$writeSec%.2f,"engine_write_docs_per_sec":${nDocs / writeSec}%.0f,"engine_docs":$nDocs,"engine_legs":${legsJson(reps.toSeq)},"cpus":$cpus"""
+    println(s"""{$head,"queries":$qs,"query_legs":$qLegs,"sf":"$sfDir"}""")
+    // Compact headline-only restatement LAST (VERDICT r4 item 2): the
+    // driver keeps only the trailing ~2 000 chars of output, and the full
+    // line's query maps grew past that window in r4, truncating the leading
+    // headline fields. This short line (~500 chars) always fits the tail
+    // complete, so the headline is adjudicable from the driver artifact.
+    println(s"""{$head,"sf":"$sfDir"}""")
   }
 }

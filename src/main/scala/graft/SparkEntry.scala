@@ -148,8 +148,13 @@ object SparkEntry {
       val masked = ev.withColumn("v",
         when(col("event_type") === "error", lit(null).cast("double"))
           .otherwise(col("value")))
-      val med = masked.agg(
-        expr("percentile(v, 0.5)").as("m")).collect()(0).getDouble(0)
+      // exact median, scale-shaped like q12b: pre-aggregate to
+      // (value, count) — parallel hash agg — then one weighted-percentile
+      // whose buffer is bounded by the DISTINCT value count, instead of a
+      // scalar percentile agg single-buffering the raw column
+      val med = masked.where(col("v").isNotNull)
+        .groupBy(col("v")).agg(count(lit(1)).as("n"))
+        .agg(expr("percentile(v, 0.5, n)").as("m")).collect()(0).getDouble(0)
       masked.select(col("event_id"), round(coalesce(col("v"), lit(med)), 2).as("value_imputed"))
     }),
 

@@ -119,9 +119,12 @@ case class AuditEntry(run_id: String, stage: String, status: String,
   * partition is complete and is skipped on resume (SURVEY §7 resumability) —
   * but only when `rules_hash` matches the resuming config's rule set, so a
   * rule edit between attempts forces re-validation instead of silently
-  * mixing verdicts from two suites. The parquet row additionally carries
-  * the always-present `sketches` / `hll_sketches` map columns (null when
-  * unconfigured). */
+  * mixing verdicts from two suites. A re-validated partition appends a
+  * SECOND row for the same (run_id, part); `attempt_ts` orders attempts so
+  * readers reduce to the latest row (stale rows never double-weight ledger
+  * sketches or resurrect trust in overwritten artifacts). The parquet row
+  * additionally carries the always-present `sketches` / `hll_sketches` map
+  * columns (null when unconfigured). */
 case class LedgerEntry(run_id: String, part: Int, status: String,
                        total_rows: Long, failed_rows: Long, violations: Long,
-                       wall_ms: Long, rules_hash: String)
+                       wall_ms: Long, rules_hash: String, attempt_ts: Long)

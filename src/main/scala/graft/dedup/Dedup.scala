@@ -213,13 +213,18 @@ object Dedup {
     //    order), the overlap can't exceed 1 + min(|a|−i−1, |b|−j−1), which
     //    must reach the equivalent overlap threshold α = ⌈t/(1+t)·(|a|+|b|)⌉.
     // Both run inside the join condition, before the distinct/verify stages.
+    // Each bound is relaxed by a 1e-9 epsilon so double rounding can only
+    // make the prune MORE conservative: e.g. 10·0.3 evaluates to
+    // 3.0000000000000004, which would wrongly prune an |a|=10,|b|=3 pair at
+    // exactly J = t; likewise ceil() at an integer boundary (ADVICE r4).
+    val eps = 1e-9
     val alpha = ceil(lit(minJaccard) / (1 + minJaccard) *
-      (col("a.n") + col("b.n")))
+      (col("a.n") + col("b.n")) - eps)
     val cands = tokens.alias("a")
       .join(tokens.alias("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
           least(col("a.n"), col("b.n")).cast("double") >=
-            greatest(col("a.n"), col("b.n")) * minJaccard &&
+            greatest(col("a.n"), col("b.n")) * minJaccard - eps &&
           (lit(1) + least(col("a.n") - col("a.pos") - 1,
                           col("b.n") - col("b.pos") - 1)) >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
@@ -276,8 +281,10 @@ object Dedup {
     val sa = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
     val sb = sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))
     val verified = cands.join(sa, "id_a").join(sb, "id_b")
+      // epsilon keeps the length prune strictly conservative at exact-
+      // threshold pairs (same rounding case as the exact path's filter)
       .where(least(col("n_a"), col("n_b")).cast("double") >=
-             greatest(col("n_a"), col("n_b")) * minJaccard)
+             greatest(col("n_a"), col("n_b")) * minJaccard - 1e-9)
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))

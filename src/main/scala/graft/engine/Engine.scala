@@ -72,6 +72,18 @@ object ReferentialIntegrity {
   }
 }
 
+/** Driver-side attempt clock for ledger rows: wall-clock millis, bumped to
+  * strictly increase within one JVM so two attempts landing in the same
+  * millisecond (fast tests, quick retries) still order deterministically.
+  * Across JVMs plain wall-clock ordering applies — attempts of one run are
+  * sequential by construction (a resume starts after the prior attempt
+  * died), so millisecond resolution is sufficient there. */
+private[engine] object AttemptClock {
+  private val last = new java.util.concurrent.atomic.AtomicLong(0L)
+  def next(): Long =
+    last.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
+}
+
 /** Engine configuration. `runTs` pins "now" for deterministic future-date
   * rules (reference non-determinism noted in SURVEY §7.4). */
 case class EngineConfig(
@@ -127,13 +139,26 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
 
   private def ledgerPath(run: String) = config.ledgerDir.map(d => s"$d/ledger")
 
-  /** Deterministic fingerprint of the configured rule set (ids + reasons,
-    * order-independent). Written to every ledger row; resume TRUSTS a
-    * completed partition only if it was validated under the SAME rules —
+  /** Deterministic fingerprint of the configured rule set (FULL specs +
+    * reasons, order-independent). Written to every ledger row; resume TRUSTS
+    * a completed partition only if it was validated under the SAME rules —
     * otherwise a rule-set edit between attempts would silently mix verdicts
-    * from two different suites in one output. */
+    * from two different suites in one output.
+    *
+    * Hashes the whole RuleSpec (case-class toString carries every
+    * constructor parameter), not just `ruleId`: many rule ids omit their
+    * parameters (Formula's SQL, Pattern's regex under an unchanged name,
+    * range bounds, AllowedValues list), so a parameter-only edit between
+    * attempts must still flip the fingerprint (ADVICE r4). NoFutureDate's
+    * timestamp is canonicalized to epoch millis — `Timestamp.toString`
+    * renders in the JVM default zone, which would make the hash depend on
+    * the resuming JVM's timezone rather than the rule's value. */
+  private def canonSpec(s: RuleSpec): String = s match {
+    case RuleSpec.NoFutureDate(c, ts) => s"NoFutureDate($c,${ts.getTime})"
+    case other => other.toString
+  }
   private[graft] def rulesHash: String = {
-    val canon = config.rules.map(r => s"${r.spec.ruleId}|${r.reason}").sorted
+    val canon = config.rules.map(r => s"${canonSpec(r.spec)}|${r.reason}").sorted
       .mkString(";") + s"|uniq=${config.uniquenessKey}|ri=${config.checkReferentialIntegrity}"
     java.lang.Long.toHexString(
       graft.functions.Hashing.md5_60(canon.getBytes("UTF-8")))
@@ -141,20 +166,34 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
 
   /** Partitions already completed in a previous attempt of this run.
     * `mergeSchema` so a ledger dir whose older rows predate the always-on
-    * sketch columns (pre-r4 schema) still reads cleanly. Rows with a
+    * sketch columns (pre-r4 schema) still reads cleanly.
+    *
+    * A partition can carry SEVERAL ledger rows (one per attempt that
+    * re-validated it, e.g. after a rule edit forced re-validation); only the
+    * LATEST attempt's row describes the artifacts currently on disk, so the
+    * set reduces to the newest row per partition by `attempt_ts` before the
+    * hash check (ADVICE r4: trusting a stale matching-hash row after the
+    * artifacts were rewritten under a different suite). Rows with a
     * `rules_hash` different from the current config are NOT treated as
-    * complete (they were validated under different rules and must be
-    * re-validated); legacy rows without the column are trusted. */
+    * complete; legacy rows without either column are trusted (ts = 0). */
   def completedPartitions(): Set[Int] = ledgerPath(config.runId) match {
     case Some(p) =>
       try {
-        val df = spark.read.option("mergeSchema", "true").parquet(p)
+        val df0 = spark.read.option("mergeSchema", "true").parquet(p)
           .where($"run_id" === config.runId)
-        val filtered =
-          if (df.columns.contains("rules_hash"))
-            df.where($"rules_hash".isNull || $"rules_hash" === rulesHash)
-          else df
-        filtered.select("part").as[Int].collect().toSet
+        val df1 = if (df0.columns.contains("attempt_ts")) df0
+                  else df0.withColumn("attempt_ts", lit(0L))
+        val df = if (df1.columns.contains("rules_hash")) df1
+                 else df1.withColumn("rules_hash", lit(null).cast("string"))
+        // legacy null hashes ride through max_by behind a sentinel (null
+        // VALUE handling in max_by is an implementation detail not worth
+        // depending on)
+        val legacy = " legacy"
+        df.groupBy($"part")
+          .agg(max_by(coalesce($"rules_hash", lit(legacy)),
+                      coalesce($"attempt_ts", lit(0L))).as("rules_hash"))
+          .where($"rules_hash" === legacy || $"rules_hash" === rulesHash)
+          .select("part").as[Int].collect().toSet
       }
       catch { case _: Throwable => Set.empty }
     case None => Set.empty
@@ -333,7 +372,12 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
         lit(config.runId).as("run_id"), $"part", $"status",
         $"total_rows", $"failed".as("failed_rows"),
         coalesce($"__viol_n", lit(0L)).as("violations"), lit(wallMs).as("wall_ms"),
-        lit(rulesHash).as("rules_hash"))
+        lit(rulesHash).as("rules_hash"),
+        // attempt ordering: re-validated partitions append a SECOND row for
+        // the same (run_id, part); readers reduce to the latest attempt
+        // (completedPartitions, Drift.mergeLedgerSketches/Hll) so stale
+        // rows never double-weight sketches or resurrect old verdict trust
+        lit(AttemptClock.next()).as("attempt_ts"))
       // Optional per-partition sketches (north rule "drift over quantile
       // sketches" + SURVEY §2.11 persisted HLL): KLL quantile sketches and
       // HLL distinct-count registers, aggregated from the PERSISTED narrow

@@ -63,9 +63,13 @@ object Detector {
   def detectTypes(df: DataFrame, sampleRows: Int = 100, seed: Long = 42L): Map[String, TypeMetadata] = {
     val cols = df.columns.toSeq
     if (cols.isEmpty) return Map.empty
-    // Job 1: full-table cardinalities + count, one wide agg.
+    // Job 1: full-table cardinalities + counts (total AND per-column
+    // non-null — the reference runs ALL value analysis, including the
+    // cardinality check, only under `if len(non_null) > 0`, detector.py:45),
+    // one wide agg.
     val cardAggs: Seq[Column] = count(lit(1)).as("__rows") +:
-      cols.map(c => approx_count_distinct(col(c)).as(s"$c::card"))
+      (cols.map(c => approx_count_distinct(col(c)).as(s"$c::card")) ++
+       cols.map(c => count(col(c)).as(s"$c::nn")))
     val cardRow = df.agg(cardAggs.head, cardAggs.tail: _*).collect()(0)
     val fullRows = cardRow.getAs[Long]("__rows")
     // Job 2: seeded cross-partition sample, every per-column rate in one agg.
@@ -106,7 +110,12 @@ object Detector {
       if (rate(s"$c::num") >= 1.0) matches :+= ((NUMERIC, 0.5, "Numeric conversion success"))
       val uniqueRatio = if (rows == 0) 1.0
         else cardRow.getAs[Long](s"$c::card").toDouble / rows
-      if (uniqueRatio < 0.2 && rows > 20) matches :+= ((CATEGORICAL, 0.6, "Low cardinality"))
+      // an all-null column has uniqueRatio 0 but must stay UNKNOWN, not
+      // CATEGORICAL: the reference skips value analysis entirely when the
+      // non-null set is empty (detector.py:45,69 — ADVICE r4)
+      val nonNull = cardRow.getAs[Long](s"$c::nn")
+      if (uniqueRatio < 0.2 && rows > 20 && nonNull > 0)
+        matches :+= ((CATEGORICAL, 0.6, "Low cardinality"))
 
       if (matches.isEmpty) c -> TypeMetadata(UNKNOWN, 0.0, Seq("No patterns matched"))
       else {

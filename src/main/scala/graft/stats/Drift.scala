@@ -195,16 +195,33 @@ object Drift {
     cols.map(c => checkSketches(a(c), b(c), c, bins, alpha))
   }
 
+  /** One sketch payload per partition of `runId`, reduced to the LATEST
+    * attempt per partition: a partition re-validated after a rule edit has
+    * several ledger rows, and only the newest describes the artifacts on
+    * disk — merging all rows would double-weight re-validated partitions
+    * (ADVICE r4). Legacy ledgers without `attempt_ts` order as ts = 0. */
+  private def latestPerPart(ledger: DataFrame, runId: String,
+                            value: Column): Array[Array[Byte]] = {
+    val withTs = if (ledger.columns.contains("attempt_ts")) ledger
+                 else ledger.withColumn("attempt_ts", lit(0L))
+    withTs.where(col("run_id") === runId)
+      .groupBy(col("part"))
+      // struct-wrap the payload: a latest attempt with a NULL sketch must
+      // win (its partition contributes nothing), not fall through to an
+      // older attempt's sketch via max_by's null-value handling
+      .agg(max_by(struct(value.as("v")), coalesce(col("attempt_ts"), lit(0L)))
+        .getField("v").as("s"))
+      .where(col("s").isNotNull)
+      .collect().map(_.getAs[Array[Byte]]("s"))
+  }
+
   /** Merge a run's per-partition ledger sketches (see
     * [[graft.engine.EngineConfig.sketchExprs]]) for sketch `name` into one
     * sketch — cross-run drift then needs NO data scan: two ledger reads +
-    * [[checkSketches]]. */
+    * [[checkSketches]]. Latest attempt per partition wins. */
   def mergeLedgerSketches(ledger: DataFrame, runId: String,
                           name: String): Option[Sketches.KllSketch] = {
-    val rows = ledger.where(col("run_id") === runId)
-      .select(element_at(col("sketches"), name).as("s"))
-      .where(col("s").isNotNull)
-      .collect().map(_.getAs[Array[Byte]](0))
+    val rows = latestPerPart(ledger, runId, element_at(col("sketches"), name))
     if (rows.isEmpty) None
     else Some(Sketches.KllSketch.mergeAll(rows.toIndexedSeq))
   }
@@ -213,16 +230,31 @@ object Drift {
     * one distinct-count estimate (see
     * [[graft.engine.EngineConfig.hllSketchExprs]]) — cross-run/cross-partition
     * distinct-count drift with NO data scan: register-wise max across ledger
-    * rows, estimate on the driver. */
+    * rows, estimate on the driver. Latest attempt per partition wins. */
   def mergeLedgerHll(ledger: DataFrame, runId: String,
                      name: String): Option[Long] = {
-    val rows = ledger.where(col("run_id") === runId)
-      .select(element_at(col("hll_sketches"), name).as("s"))
-      .where(col("s").isNotNull)
-      .collect().map(_.getAs[Array[Byte]](0))
+    val rows = latestPerPart(ledger, runId, element_at(col("hll_sketches"), name))
     if (rows.isEmpty) None
     else Some(Sketches.mergeHllSketches(rows.toIndexedSeq))
   }
+
+  /** Cross-run distinct-count drift verdict for HLL sketch `name` between
+    * two runs in the same ledger — the HLL analogue of [[ledgerDrift]], zero
+    * scans of the data (VERDICT r4 item 5). `tolerance` is the relative
+    * change floor: the default 0.15 sits far above the HLL estimator's ~2%
+    * standard error at the engine's default precision, so identical data
+    * never fires while an order-level cardinality shift always does. */
+  case class HllDriftReport(name: String, countA: Long, countB: Long,
+                            relChange: Double, drifted: Boolean)
+  def ledgerHllDrift(ledger: DataFrame, runA: String, runB: String,
+                     name: String, tolerance: Double = 0.15): Option[HllDriftReport] =
+    for {
+      a <- mergeLedgerHll(ledger, runA, name)
+      b <- mergeLedgerHll(ledger, runB, name)
+    } yield {
+      val rel = math.abs(b - a).toDouble / math.max(a, 1L)
+      HllDriftReport(name, a, b, rel, rel > tolerance)
+    }
 
   /** Cross-RUN drift verdict for sketch `name` between two runs recorded in
     * the same engine ledger — the full north-rule story with ZERO scans of

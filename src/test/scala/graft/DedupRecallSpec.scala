@@ -61,6 +61,23 @@ class DedupRecallSpec extends SparkSpec {
     assert(borderline >= 5, s"want borderline pairs, got $borderline")
   }
 
+  test("exact path keeps pairs at EXACTLY J = t (prunes are epsilon-conservative)") {
+    // ADVICE r4: |a|=10 shingles, |b|=3 shingles, b ⊂ a gives J = 3/10 at
+    // t = 0.3 — raw-double prunes round 10·0.3 to 3.0000000000000004 and
+    // ceil(t/(1+t)·13) to 4, each wrongly dropping the boundary pair.
+    val toks = (0 until 12).map(i => s"t$i")
+    val a = toks.mkString(" ")            // 10 distinct 3-shingles
+    val b = toks.take(5).mkString(" ")    // 3 shingles, all contained in a's
+    val df = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val sa = shingleSet(a); val sb = shingleSet(b)
+    assert(sa.size === 10 && sb.size === 3 && (sb -- sa).isEmpty)
+    val got = Dedup.ngramJaccardPairs(df, "text", "doc_id", shingleK = 3,
+        minJaccard = 0.3, forceExact = true)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((0L, 1L)),
+      s"boundary pair at J = 0.3 lost to floating-point pruning: $got")
+  }
+
   test("ngramJaccardPairs low-t default routes via MinHash: zero false positives, full recall at J≥0.6") {
     val df = docs.toDF("doc_id", "text")
     // default at t=0.3 takes the banded-MinHash + exact-verify scale path

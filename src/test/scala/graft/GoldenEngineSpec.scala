@@ -307,6 +307,69 @@ class GoldenEngineSpec extends SparkSpec {
     viols.unpersist(); run.unpersistAll()
   }
 
+  test("rulesHash changes when only a rule PARAMETER changes (same ruleId)") {
+    // ADVICE r4: ids like numeric_range(x) omit their bounds, so a
+    // parameter-only edit must still flip the fingerprint
+    def hashOf(rs: Seq[BoundRule]) =
+      new ValidationRun(spark, EngineConfig(rules = rs)).rulesHash
+    val base = Seq(BoundRule(NumericRange("x", 0, 10)),
+                   BoundRule(Pattern("y", "^a+$", "custom")))
+    assert(hashOf(base) === hashOf(base)) // deterministic
+    assert(hashOf(Seq(BoundRule(NumericRange("x", 0, 99)), base(1))) !== hashOf(base))
+    assert(hashOf(Seq(base(0), BoundRule(Pattern("y", "^b+$", "custom")))) !== hashOf(base))
+    assert(hashOf(Seq(BoundRule(Formula("x", "x > 0")))) !==
+           hashOf(Seq(BoundRule(Formula("x", "x > 1")))))
+    assert(hashOf(Seq(BoundRule(AllowedValues("x", Seq("a"))))) !==
+           hashOf(Seq(BoundRule(AllowedValues("x", Seq("a", "b"))))))
+    val ts1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2026-06-01 00:00:00")
+    assert(hashOf(Seq(BoundRule(NoFutureDate("d", ts1)))) !==
+           hashOf(Seq(BoundRule(NoFutureDate("d", ts2)))))
+  }
+
+  test("ledger latest-attempt wins: re-validated partitions neither double-weight sketches nor resurrect stale trust") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledger-la").toString
+    val pq = Fixtures.docsPq(spark, 3000, 4)
+    val cfgA = EngineConfig(rules = rowRules, ledgerDir = Some(dir), runId = "r1",
+      sketchExprs = Map("n_spans" -> size($"spans").cast("double")))
+    new ValidationRun(spark, cfgA).runAndWrite(pq, Some(assets), s"$dir/out")
+    // rule edit between attempts: resume re-validates EVERY partition under
+    // suite B (hash mismatch), appending a second ledger row per partition
+    val cfgB = cfgA.copy(rules = rowRules.init)
+    new ValidationRun(spark, cfgB).runAndWrite(pq, Some(assets), s"$dir/out",
+      resume = true)
+    val ledger = spark.read.parquet(s"$dir/ledger")
+    assert(ledger.where($"run_id" === "r1").count() === 8) // 4 parts × 2 attempts
+    // ADVICE r4: the artifacts on disk were last rewritten under suite B —
+    // a resume under suite A must NOT trust its own (stale) matching rows…
+    assert(new ValidationRun(spark, cfgA).completedPartitions() === Set.empty)
+    // …while suite B sees all partitions complete
+    assert(new ValidationRun(spark, cfgB).completedPartitions() === Set(0, 1, 2, 3))
+    // and sketch merges reduce to the latest attempt per partition: the
+    // merged KLL count equals the table size, not 2× it
+    val merged = graft.stats.Drift.mergeLedgerSketches(ledger, "r1", "n_spans").get
+    assert(merged.count === 3000L, s"double-weighted merge: ${merged.count}")
+  }
+
+  test("cross-run HLL drift from the ledger: quiet on same data, fires on a cardinality collapse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledger-hd").toString
+    val pq = Fixtures.docsPq(spark, 3000, 4)
+    def runWith(id: String, e: org.apache.spark.sql.Column): Unit =
+      new ValidationRun(spark, EngineConfig(rules = rowRules,
+        ledgerDir = Some(dir), runId = id,
+        hllSketchExprs = Map("k" -> e)))
+        .runAndWrite(pq, Some(assets), s"$dir/out-$id")
+    runWith("base", $"doc_id")
+    runWith("same", $"doc_id")
+    runWith("low", substring($"doc_id", 1, 5)) // ~2.9k distinct → ~15
+    val ledger = spark.read.parquet(s"$dir/ledger")
+    val quiet = graft.stats.Drift.ledgerHllDrift(ledger, "base", "same", "k").get
+    assert(!quiet.drifted, quiet.toString)
+    val loud = graft.stats.Drift.ledgerHllDrift(ledger, "base", "low", "k").get
+    assert(loud.drifted && loud.countB < loud.countA / 10, loud.toString)
+    assert(graft.stats.Drift.ledgerHllDrift(ledger, "base", "missing", "k").isEmpty)
+  }
+
   test("strict mode drops failing rows (reference :88-90)") {
     val res = ValidationEngine.validate(docs, rowRules, strictMode = true)
     assert(res.report.count() === 5)

@@ -39,6 +39,18 @@ class SemanticSpec extends SparkSpec {
     assert(email.examples.toSet === Set("rahul@domain", "anjali@invalid"))
   }
 
+  test("detector: an all-null column stays UNKNOWN, not CATEGORICAL") {
+    // reference runs all value analysis (incl. the cardinality check) only
+    // under `if len(non_null) > 0` (detector.py:45,69) — an all-null column
+    // has uniqueRatio 0 and >20 rows, which naively matches Low cardinality
+    val df = spark.range(30).select(
+      col("id").cast("string").as("some_field"),
+      lit(null).cast("string").as("empty_field"))
+    val types = Detector.detectTypes(df)
+    assert(types("empty_field").detectedType === ColumnType.UNKNOWN,
+      types("empty_field").toString)
+  }
+
   test("excel serial 35845 → 19-02-1998 (dynamic_cleaner.py:103-113 epoch math)") {
     // NOTE: the reference's prose expectation in verify_semantic_deep.py:53-55
     // says 14-02-1998, but its own implementation (1899-12-30 + 35845 days,
