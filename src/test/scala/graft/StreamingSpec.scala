@@ -91,6 +91,88 @@ class StreamingSpec extends SparkSpec {
     assert(ids.count(_ == "dup-1") === 1)
   }
 
+  test("file source + checkpoint: violations exactly-once and windowed state restored across restart") {
+    // VERDICT r4 stretch 8: the MemoryStream tests pin semantics; this one
+    // pins RECOVERY — a real file source, parquet sinks, checkpoint dirs,
+    // query stopped and restarted mid-stream.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft-stream-rec")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val (sinkV, sinkW) = (root.resolve("sinkV").toString, root.resolve("sinkW").toString)
+    val (cpV, cpW) = (root.resolve("cpV").toString, root.resolve("cpW").toString)
+
+    def addBatch(n: Int, docs: Seq[Doc], ts: String): Unit = {
+      val stage = root.resolve(s"stage$n").toString
+      spark.createDataFrame(docs)
+        .withColumn("ts", to_timestamp(lit(ts)))
+        .coalesce(1).write.json(stage)
+      Files.list(Paths.get(stage)).iterator.asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .zipWithIndex.foreach { case (p, i) =>
+          Files.move(p, in.resolve(s"b$n-$i.json")) }
+    }
+    val schema = spark.createDataFrame(Fixtures.goldenDocs)
+      .withColumn("ts", current_timestamp()).schema
+    def stream = spark.readStream.schema(schema).json(in.toString)
+    val assets = Fixtures.goldenAssetsDf(spark)
+    def startV() = StreamingValidation
+      .violationsStream(stream.drop("ts"), rowRules, Some(assets))
+      .writeStream.format("parquet").option("path", sinkV)
+      .option("checkpointLocation", cpV).outputMode("append").start()
+    def startW() = StreamingValidation
+      .windowedVerdicts(stream, rowRules, "ts", "1 minute", watermark = "1 second")
+      .writeStream.format("parquet").option("path", sinkW)
+      .option("checkpointLocation", cpW).outputMode("append").start()
+
+    // attempt 1: golden docs in window A [00:00, 00:01)
+    addBatch(1, Fixtures.goldenDocs, "2026-01-01 00:00:30")
+    locally {
+      val (qv, qw) = (startV(), startW())
+      try { qv.processAllAvailable(); qw.processAllAvailable() }
+      finally { qv.stop(); qw.stop() }
+    }
+    // golden row-rule violations (7) + dangling media_ref (1); no
+    // uniqueness on streams
+    assert(spark.read.parquet(sinkV).count() === 8)
+
+    // RESTART from checkpoints; three more micro-batches advance the
+    // watermark so windows A then B finalize from RESTORED state
+    addBatch(2, Seq(
+      Doc("x1", Seq(Span("text", "ok", null, 0)), 0),
+      Doc("x2", Nil, 0)), "2026-01-01 00:05:00") // window B: 1 of 2 fails
+    locally {
+      val (qv, qw) = (startV(), startW())
+      try {
+        qv.processAllAvailable(); qw.processAllAvailable()
+        addBatch(3, Seq(Doc("x3", Seq(Span("text", "ok", null, 0)), 0)),
+          "2026-01-01 00:20:00") // closes window A
+        qv.processAllAvailable(); qw.processAllAvailable()
+        addBatch(4, Seq(Doc("x4", Seq(Span("text", "ok", null, 0)), 0)),
+          "2026-01-01 00:30:00") // closes window B
+        qv.processAllAvailable(); qw.processAllAvailable()
+      } finally { qv.stop(); qw.stop() }
+    }
+    // exactly-once across the restart: batch 1's 8 rows are NOT replayed;
+    // batches 2-4 add exactly one violation (x2's empty spans)
+    val viols = spark.read.parquet(sinkV)
+    assert(viols.count() === 9, s"expected 9 rows, got ${viols.count()}")
+    assert(viols.where($"doc_id" === "x2" && $"rule_id" === "spans_non_empty")
+      .count() === 1)
+    // windowed verdicts: window A's counts come from state built BEFORE the
+    // restart (7/5 docs per part, failures as in the MemoryStream test),
+    // window B from after — both finalized exactly once
+    val w = spark.read.parquet(sinkW)
+      .select(date_format($"window.start", "HH:mm").as("w"),
+        $"part", $"total_rows", $"failed", $"status")
+      .as[(String, Int, Long, Long, String)].collect().toSet
+    assert(w === Set(
+      ("00:00", 0, 7L, 3L, "FAIL"),
+      ("00:00", 1, 5L, 4L, "FAIL"),
+      ("00:05", 0, 2L, 1L, "FAIL"),
+      ("00:20", 0, 1L, 0L, "PASS")), w.toString) // batch 4's watermark also closes x3's window
+  }
+
   test("global-state rules are rejected on streams with a actionable message") {
     val ex = intercept[IllegalArgumentException] {
       StreamingValidation.annotate(Fixtures.goldenDocsDf(spark),
