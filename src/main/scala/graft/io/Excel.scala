@@ -92,9 +92,13 @@ object Excel {
     val doc = xml(zipEntry(z, part)
       .getOrElse(throw new IllegalArgumentException(s"missing sheet part $part")))
     val rows = elems(doc, "row").map { r =>
+      // the `r` (cell reference) attribute is optional in SpreadsheetML — a
+      // cell without one sits immediately after the previous cell
+      var nextImplied = 0
       val cells = childElems(r, "c").flatMap { c =>
         val ref = c.getAttribute("r")
-        val idx = if (ref.nonEmpty) colIndex(ref) else -1
+        val idx = if (ref.nonEmpty) colIndex(ref) else nextImplied
+        nextImplied = idx + 1
         val t = c.getAttribute("t")
         val v = childElems(c, "v").headOption.map(_.getTextContent)
         val value: String = t match {
@@ -106,7 +110,7 @@ object Excel {
           case "b" => v.map(x => if (x.trim == "1") "True" else "False").orNull
           case _ => v.map(renderNumber).orNull
         }
-        if (idx < 0 || value == null) None else Some(idx -> value)
+        if (value == null) None else Some(idx -> value)
       }
       cells
     }.filter(_.nonEmpty)

@@ -103,6 +103,41 @@ class ExcelSpec extends SparkSpec {
       ("Bob", "7", "3")))      // integral numbers rendered without .0
   }
 
+  test("reader handles cells without r attributes (position-implied), inlineStr, booleans") {
+    // the `r` cell reference is OPTIONAL in SpreadsheetML; some writers emit
+    // position-implied cells. Mixed here: row 2 is entirely r-less, row 3
+    // anchors at B3 then continues implied (→ C3).
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx-norefs")
+    val path = dir.resolve("norefs.xlsx").toString
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def part(n: String, c: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+    }
+    part("[Content_Types].xml",
+      """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>""")
+    part("_rels/.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    part("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Data" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    part("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+      """<row r="1"><c t="inlineStr"><is><t>k</t></is></c><c t="inlineStr"><is><t>flag</t></is></c><c t="inlineStr"><is><t>v</t></is></c></row>""" +
+      """<row r="2"><c t="inlineStr"><is><t>a</t></is></c><c t="b"><v>1</v></c><c><v>2.5</v></c></row>""" +
+      """<row r="3"><c r="B3" t="b"><v>0</v></c><c><v>9</v></c></row>""" +
+      """</sheetData></worksheet>""")
+    zos.close()
+
+    val df = Excel.readXlsx(spark, path)
+    assert(df.columns.toSeq === Seq("k", "flag", "v"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq === Seq(
+      ("a", "True", "2.5"),
+      (null, "False", "9"))) // B3 anchor, next implied cell lands in C3
+  }
+
   test("writer refuses oversize sheets loudly (report artifact, not a data sink)") {
     val big = spark.range(0, 50).toDF("id")
     val e = intercept[IllegalArgumentException](
