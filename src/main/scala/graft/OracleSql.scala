@@ -277,6 +277,26 @@ object OracleSql {
          |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
          |WHERE j >= 0.3""".stripMargin,
 
+    // transitive near-dup clusters: the q20 exact pair set closed under
+    // connectivity (recursive CTE label reachability; cluster = min doc_id).
+    // Mirrors Components.connectedComponents over ngramJaccardPairs.
+    "q39_neardup_clusters" ->
+      s"""WITH RECURSIVE
+         |s AS (SELECT doc_id, list_distinct(${shingles3("text")}) AS sh FROM documents),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, r.lbl FROM edges e JOIN reach r ON e.u = r.id)
+         |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+         |FROM reach GROUP BY id""".stripMargin,
+
     // hyperplane-LSH ANN top-1 (4 planes): bucket-equality join + exact cosine
     "q19b_lsh_ann" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket FROM embeddings),

@@ -8,7 +8,7 @@ import graft.rules.{BoundRule, ValidationEngine}
 import graft.clean.Cleaners
 import graft.stats.Profiler
 import graft.text.Text
-import graft.dedup.Dedup
+import graft.dedup.{Components, Dedup}
 import graft.sim.Similarity
 
 /**
@@ -291,6 +291,15 @@ object SparkEntry {
       Dedup.ngramJaccardPairsViaMinhash(read(s, dir, "documents"), "text",
         "doc_id", shingleK = 3, minJaccard = 0.3)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    // transitive near-dup clusters over the exact pair set: pairs →
+    // large-star/small-star connected components; cluster id = min doc_id.
+    // The oracle closes the same pair set with a recursive CTE.
+    "q39_neardup_clusters" -> ((s, dir) => {
+      Components.nearDupClusters(read(s, dir, "documents"), "text", "doc_id",
+        shingleK = 3, minJaccard = 0.3, forceExact = true)
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
     }),
 
     // ------------------------------------------------------ similarity search

@@ -1,0 +1,124 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Connected components over an undirected edge list — the clustering step a
+ * near-duplicate pipeline needs between "candidate pairs" and "keep one
+ * survivor per group": pair emitters ([[Dedup.ngramJaccardPairs]],
+ * [[Dedup.simhashPairs]], [[Dedup.embeddingNearDups]], …) produce edges, and
+ * training-data dedup drops every member of a component except a canonical
+ * survivor. (The reference's dedup surface is exact-key only —
+ * `/root/reference/src/utils/helpers.py:322-374` groups by identical key
+ * hashes; transitive near-dup grouping is part of this engine's
+ * LLM-pipeline extension.)
+ *
+ * Algorithm: alternating large-star / small-star (Kiveris et al.,
+ * "Connected Components in MapReduce and Beyond", SoCC 2014) — converges in
+ * O(log² n) rounds regardless of graph diameter, unlike plain min-label
+ * propagation whose round count is the component DIAMETER (a chain of
+ * pairwise-similar docs would need one Spark job per link).
+ *
+ * Scale design: each half-round is one groupBy-min plus one join on the
+ * edge set — never a per-node adjacency list (`collect_list` over a node's
+ * neighbors is the giant-duplicate-cluster skew trap: the eventual root of
+ * a 100M-doc near-dup component has degree O(component) and would
+ * materialize the whole cluster in one row). Star-contraction instead
+ * shrinks hub degrees round over round, and AQE's skew-join splitting
+ * handles the interim hot keys. Per-round `localCheckpoint` truncates the
+ * iterative lineage (the standard Spark treatment for loop-grown plans); on
+ * a multi-executor cluster prefer `spark.sparkContext.setCheckpointDir` +
+ * reliable checkpoints for fault tolerance across a long job.
+ */
+object Components {
+
+  /** Components of the graph whose edges are `pairs(aCol, bCol)`.
+    * Returns (id, component) for every node that appears in an edge, where
+    * `component` is the MINIMUM node id in the component (deterministic,
+    * input-order-independent). Id type must be orderable (long/string). */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b",
+                          maxIter: Int = 25): DataFrame = {
+    val empty = pairs.limit(0)
+      .select(col(aCol).as("id"), col(bCol).as("component"))
+    // canonical undirected edges (u > v), self-loops dropped
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+              least(col(aCol), col(bCol)).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    if (edges.isEmpty) return empty
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // ---- large-star: for each node x, m(x) = min(x ∪ Γ(x)); every
+      // LARGER neighbor y of x re-points to m(x): emit (y, m(x)).
+      val sym = edges.select(col("u").as("x"), col("v").as("y"))
+        .union(edges.select(col("v").as("x"), col("u").as("y")))
+      val mins = sym.groupBy("x").agg(min("y").as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      val ls = sym.join(mins, "x").where(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v")) // m ≤ x < y ⇒ canonical
+        .where(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+
+      // ---- small-star: for each node x, m over x's SMALLER neighborhood
+      // Γ⁻(x) ∪ {x}; every v ∈ Γ⁻(x) ∪ {x} except m re-points to m.
+      val down = ls.select(col("u").as("x"), col("v").as("y")) // y < x by canon
+      val minsD = down.groupBy("x").agg(min("y").as("m"))      // m = min(Γ⁻) < x
+      val ss = down.join(minsD, "x")
+        .select(col("y").as("node"), col("m")) // (v, m) for v ∈ Γ⁻(x)
+        .union(minsD.select(col("x").as("node"), col("m"))) // (x, m)
+        .where(col("node") =!= col("m"))
+        .select(col("node").as("u"), col("m").as("v")) // m ≤ all ⇒ canonical
+        .distinct()
+        .localCheckpoint(true)
+
+      // converged ⇔ the canonical edge set is a fixpoint (both sets are
+      // distinct, so equal counts + empty difference ⇒ set equality)
+      converged = ss.count() == edges.count() &&
+        ss.except(edges).isEmpty
+      edges = ss
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+      "raise maxIter (expected rounds grow ~log² of the largest component)")
+    // fixpoint = stars: every edge points (member → component min); roots
+    // map to themselves
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** Near-duplicate CLUSTERS of a document table: n-gram-Jaccard pairs
+    * (exact or banded route per [[Dedup.ngramJaccardPairs]]) grouped
+    * transitively. Returns (id, component) for every doc in a cluster of
+    * size ≥ 2; docs with no near-dup partner are absent (they are their own
+    * survivor). */
+  def nearDupClusters(df: DataFrame, textCol: String, idCol: String,
+                      shingleK: Int = 3, minJaccard: Double = 0.5,
+                      portable: Boolean = true,
+                      forceExact: Boolean = false): DataFrame =
+    connectedComponents(
+      Dedup.ngramJaccardPairs(df, textCol, idCol, shingleK, minJaccard,
+        portable = portable, forceExact = forceExact))
+
+  /** Near-duplicate dedup with a transitive-closure survivor rule: keep each
+    * cluster's MINIMUM id plus every unclustered doc. The anti-join is
+    * against the (small) non-survivor member set — broadcast-able whenever
+    * the duplicate fraction is, and never wider than the duplicate rows. */
+  def nearDupDedup(df: DataFrame, textCol: String, idCol: String,
+                   shingleK: Int = 3, minJaccard: Double = 0.5,
+                   portable: Boolean = true,
+                   forceExact: Boolean = false): DataFrame = {
+    val losers = nearDupClusters(df, textCol, idCol, shingleK, minJaccard,
+        portable, forceExact)
+      .where(col("id") =!= col("component")) // survivors keep their rows
+      .select(col("id"))
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+}
