@@ -22,6 +22,11 @@ object Dedup {
   private def h(c: Column, portable: Boolean): Column =
     if (portable) Text.portableHash(c) else Text.fastHash(c)
 
+  /** Epsilon for the exactness-preserving prunes: relaxes each bound so IEEE
+    * double rounding can only make a prune MORE conservative (a pair at
+    * exactly J = t must never be dropped). */
+  private val PruneEps = 1e-9
+
   // ------------------------------------------------------------------ exact
 
   /** Exact duplicate groups by normalized-text fingerprint:
@@ -199,7 +204,12 @@ object Dedup {
             s => s.getField("tok")).as("sh"))
       }
     val n = size(col("sh"))
-    val prefixLen = (n - ceil(n * lit(minJaccard)) + 1).cast("int")
+    // required prefix for recall 1.0 is n − ⌈t·n⌉ + 1; the epsilon inside
+    // ceil keeps double rounding from inflating ⌈t·n⌉ and shortening the
+    // prefix by one (100·0.55 evaluates to 55.00000000000001 → ceil 56 →
+    // a containment pair at exactly J = t loses its only shared prefix
+    // token). A longer prefix only costs candidates, never recall.
+    val prefixLen = (n - ceil(n * lit(minJaccard) - PruneEps) + 1).cast("int")
     val withPrefix = sh.select(col("id"), col("sh"), n.as("n"),
       slice(col("sh"), lit(1), prefixLen).as("prefix"))
     val tokens = withPrefix.select(col("id"), col("n"),
@@ -214,10 +224,11 @@ object Dedup {
     //    must reach the equivalent overlap threshold α = ⌈t/(1+t)·(|a|+|b|)⌉.
     // Both run inside the join condition, before the distinct/verify stages.
     // Each bound is relaxed by a 1e-9 epsilon so double rounding can only
-    // make the prune MORE conservative: e.g. 10·0.3 evaluates to
-    // 3.0000000000000004, which would wrongly prune an |a|=10,|b|=3 pair at
-    // exactly J = t; likewise ceil() at an integer boundary (ADVICE r4).
-    val eps = 1e-9
+    // make the prune MORE conservative: e.g. 100·0.55 evaluates to
+    // 55.00000000000001, which would wrongly prune an |a|=100,|b|=55
+    // containment pair at exactly J = t (55 ≥ 55.000…01 is false); likewise
+    // ceil() at an integer boundary (ADVICE r4).
+    val eps = PruneEps
     val alpha = ceil(lit(minJaccard) / (1 + minJaccard) *
       (col("a.n") + col("b.n")) - eps)
     val cands = tokens.alias("a")
@@ -284,7 +295,7 @@ object Dedup {
       // epsilon keeps the length prune strictly conservative at exact-
       // threshold pairs (same rounding case as the exact path's filter)
       .where(least(col("n_a"), col("n_b")).cast("double") >=
-             greatest(col("n_a"), col("n_b")) * minJaccard - 1e-9)
+             greatest(col("n_a"), col("n_b")) * minJaccard - PruneEps)
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))

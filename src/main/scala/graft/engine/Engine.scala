@@ -75,9 +75,10 @@ object ReferentialIntegrity {
 /** Driver-side attempt clock for ledger rows: wall-clock millis, bumped to
   * strictly increase within one JVM so two attempts landing in the same
   * millisecond (fast tests, quick retries) still order deterministically.
-  * Across JVMs plain wall-clock ordering applies — attempts of one run are
-  * sequential by construction (a resume starts after the prior attempt
-  * died), so millisecond resolution is sufficient there. */
+  * Across JVMs the wall clock alone is NOT trusted (NTP can step it
+  * backward between attempts): `runAndWrite` additionally floors each
+  * attempt's ts at 1 + the max attempt_ts already in the run's ledger, so
+  * the newest attempt always wins the readers' latest-attempt reduction. */
 private[engine] object AttemptClock {
   private val last = new java.util.concurrent.atomic.AtomicLong(0L)
   def next(): Long =
@@ -364,6 +365,19 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
     }
     ledgerPath(config.runId).foreach { lp =>
       val wallMs = (System.nanoTime() - t0) / 1000000
+      // Attempt ordering must survive a wall clock stepping BACKWARD between
+      // JVMs (NTP correction, VM clock skew): floor this attempt's ts at
+      // 1 + the max attempt_ts already recorded for this run, so the newest
+      // attempt always wins the readers' max_by reduction even if the wall
+      // clock says otherwise. One read of the (tiny) ledger, resume-only in
+      // effect — a fresh run's ledger dir is empty.
+      val prevMaxTs: Long = try {
+        spark.read.option("mergeSchema", "true").parquet(lp)
+          .where($"run_id" === config.runId)
+          .agg(max(coalesce(col("attempt_ts"), lit(0L)))).as[Option[Long]]
+          .head().getOrElse(0L)
+      } catch { case _: Throwable => 0L }
+      val attemptTs = math.max(AttemptClock.next(), prevMaxTs + 1)
       // real per-partition violation counts (r2 stubbed this as -1): the
       // violations frame is cached, so this group-count costs no re-scan
       val violsPerPart = viols.groupBy($"part".cast("int").as("part"))
@@ -377,7 +391,7 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
         // the same (run_id, part); readers reduce to the latest attempt
         // (completedPartitions, Drift.mergeLedgerSketches/Hll) so stale
         // rows never double-weight sketches or resurrect old verdict trust
-        lit(AttemptClock.next()).as("attempt_ts"))
+        lit(attemptTs).as("attempt_ts"))
       // Optional per-partition sketches (north rule "drift over quantile
       // sketches" + SURVEY §2.11 persisted HLL): KLL quantile sketches and
       // HLL distinct-count registers, aggregated from the PERSISTED narrow

@@ -33,12 +33,16 @@ import org.apache.spark.sql.types._
 object Excel {
 
   private val SheetRowLimit = 1048576
+  private val SheetColLimit = 16384 // column "XFD"
 
   // --------------------------------------------------------------- reading
 
   private def xml(bytes: Array[Byte]): org.w3c.dom.Document = {
     val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    f.setNamespaceAware(false)
+    // namespace-aware so producers that PREFIX the main SpreadsheetML
+    // namespace (<x:sheet>, <x:row> — valid OOXML) parse the same as the
+    // common default-namespace form; lookups below match by LOCAL name
+    f.setNamespaceAware(true)
     // no DTDs/external entities in SpreadsheetML — close the XXE door
     f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
     f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(bytes))
@@ -51,12 +55,19 @@ object Excel {
     }
 
   private def elems(d: org.w3c.dom.Document, tag: String): Seq[org.w3c.dom.Element] = {
-    val nl = d.getElementsByTagName(tag)
+    val nl = d.getElementsByTagNameNS("*", tag)
     (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
   }
   private def childElems(e: org.w3c.dom.Element, tag: String): Seq[org.w3c.dom.Element] = {
-    val nl = e.getElementsByTagName(tag)
+    val nl = e.getElementsByTagNameNS("*", tag)
     (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
+  }
+
+  private val RelNs = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+  /** r:id regardless of the document's prefix for the relationships ns. */
+  private def relId(e: org.w3c.dom.Element): String = {
+    val ns = e.getAttributeNS(RelNs, "id")
+    if (ns.nonEmpty) ns else e.getAttribute("r:id")
   }
 
   /** "B3" → 0-based column index 1. */
@@ -170,7 +181,7 @@ object Excel {
       }
       val sheets = elems(wb, "sheet").map { e =>
         val name = e.getAttribute("name")
-        val rid = e.getAttribute("r:id")
+        val rid = relId(e)
         val target = rels.getOrElse(rid, s"worksheets/sheet${e.getAttribute("sheetId")}.xml")
         val part = if (target.startsWith("/")) target.drop(1)
                    else s"xl/${target.stripPrefix("./")}"
@@ -226,6 +237,15 @@ object Excel {
   private def cellXml(ref: String, v: Any): Option[String] = v match {
     case null => None
     case b: Boolean => Some(s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>""")
+    // NaN/Infinity are not valid SpreadsheetML numerics (Excel reports the
+    // workbook corrupt): NaN → blank cell (pandas' missing-value shape);
+    // ±Infinity → inline string, loud rather than silently dropped
+    case d: Double if d.isNaN => None
+    case f: Float if f.isNaN => None
+    case d: Double if d.isInfinite =>
+      Some(s"""<c r="$ref" t="inlineStr"><is><t>${if (d > 0) "Infinity" else "-Infinity"}</t></is></c>""")
+    case f: Float if f.isInfinite =>
+      Some(s"""<c r="$ref" t="inlineStr"><is><t>${if (f > 0) "Infinity" else "-Infinity"}</t></is></c>""")
     case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) =>
       Some(s"""<c r="$ref"><v>$n</v></c>""")
     case d: java.math.BigDecimal => Some(s"""<c r="$ref"><v>${d.toPlainString}</v></c>""")
@@ -311,6 +331,9 @@ object Excel {
         """<cellXfs count="1"><xf xfId="0"/></cellXfs>""" +
         """</styleSheet>""")
       sheets.zipWithIndex.foreach { case ((_, df), i) =>
+        require(df.columns.length <= SheetColLimit,
+          s"sheet '${names(i)}' has ${df.columns.length} columns — the xlsx " +
+          s"format caps at $SheetColLimit; export wide data as parquet/CSV")
         // bound check BEFORE collecting rows: limit(max+1) costs one extra
         // row, not a count() job
         val rows = df.limit(maxRowsPerSheet + 1).collect()

@@ -63,8 +63,8 @@ class DedupRecallSpec extends SparkSpec {
 
   test("exact path keeps pairs at EXACTLY J = t (prunes are epsilon-conservative)") {
     // ADVICE r4: |a|=10 shingles, |b|=3 shingles, b ⊂ a gives J = 3/10 at
-    // t = 0.3 — raw-double prunes round 10·0.3 to 3.0000000000000004 and
-    // ceil(t/(1+t)·13) to 4, each wrongly dropping the boundary pair.
+    // t = 0.3 (this product happens to round exactly — kept as the
+    // documented ADVICE case).
     val toks = (0 until 12).map(i => s"t$i")
     val a = toks.mkString(" ")            // 10 distinct 3-shingles
     val b = toks.take(5).mkString(" ")    // 3 shingles, all contained in a's
@@ -76,6 +76,34 @@ class DedupRecallSpec extends SparkSpec {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(got === Set((0L, 1L)),
       s"boundary pair at J = 0.3 lost to floating-point pruning: $got")
+  }
+
+  test("exact path boundary where IEEE rounding actually bites: |a|=100, |b|=55, t=0.55") {
+    // 100·0.55 = 55.00000000000001 in doubles: without the epsilon the
+    // length filter drops the pair (55 ≥ 55.000…01 is false) AND
+    // ⌈n·t⌉ = 56 shortens a's prefix to 45 tokens — which, under the
+    // rarest-first canonical order, are exactly a's 45 UNIQUE shingles, so
+    // the prefix join never even generates the candidate. Both prunes must
+    // be epsilon-relaxed for this containment pair at exactly J = t.
+    assert(100.0 * 0.55 > 55.0) // the rounding premise itself
+    // b: 57 tokens → 55 shingles, all shared. a: those 57 tokens + 45
+    // unique → 102 tokens → 100 shingles (55 shared + 2 bridge + 43 unique)
+    val toksShared = (0 until 57).map(i => s"s$i")
+    val toksUniq = (0 until 45).map(i => s"u$i")
+    val a = (toksShared ++ toksUniq).mkString(" ")
+    val b = toksShared.mkString(" ")
+    val sa = shingleSet(a); val sb = shingleSet(b)
+    assert(sa.size === 100 && sb.size === 55,
+      s"fixture shingle counts off: ${sa.size}, ${sb.size}")
+    val shared = (sa & sb).size
+    assert(shared === 55 && (sb -- sa).isEmpty,
+      s"containment premise off: shared=$shared")
+    val df = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df, "text", "doc_id", shingleK = 3,
+        minJaccard = 0.55, forceExact = true)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((0L, 1L)),
+      s"containment pair at J = 0.55 lost to floating-point pruning: $got")
   }
 
   test("ngramJaccardPairs low-t default routes via MinHash: zero false positives, full recall at J≥0.6") {

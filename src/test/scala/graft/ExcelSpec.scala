@@ -138,6 +138,56 @@ class ExcelSpec extends SparkSpec {
       (null, "False", "9"))) // B3 anchor, next implied cell lands in C3
   }
 
+  test("reader handles namespace-PREFIXED SpreadsheetML (<x:sheet>, <x:row>)") {
+    // valid OOXML producers may prefix the main namespace instead of
+    // defaulting it; lookups must match by local name
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx-ns")
+    val path = dir.resolve("ns.xlsx").toString
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def part(n: String, c: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+    }
+    part("[Content_Types].xml",
+      """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>""")
+    part("_rels/.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    part("xl/workbook.xml",
+      """<x:workbook xmlns:x="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:rel="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><x:sheets><x:sheet name="Data" sheetId="1" rel:id="rId1"/></x:sheets></x:workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    part("xl/worksheets/sheet1.xml",
+      """<x:worksheet xmlns:x="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><x:sheetData>""" +
+      """<x:row r="1"><x:c r="A1" t="inlineStr"><x:is><x:t>h</x:t></x:is></x:c></x:row>""" +
+      """<x:row r="2"><x:c r="A2"><x:v>7</x:v></x:c></x:row>""" +
+      """</x:sheetData></x:worksheet>""")
+    zos.close()
+    assert(Excel.sheetNames(path) === Seq("Data"))
+    val df = Excel.readXlsx(spark, path)
+    assert(df.columns.toSeq === Seq("h"))
+    assert(df.head().getString(0) === "7")
+  }
+
+  test("writer: NaN becomes a blank cell, Infinity an inline string (never an invalid numeric)") {
+    val df = Seq(
+      ("r1", Double.NaN),
+      ("r2", Double.PositiveInfinity),
+      ("r3", 1.5)
+    ).toDF("id", "v")
+    val path = tmp("nan.xlsx")
+    Excel.writeXlsx(path, Seq("s" -> df))
+    // no raw NaN/Infinity numeric cells in the sheet XML
+    val z = new java.util.zip.ZipFile(path)
+    val xmlText = try {
+      val in = z.getInputStream(z.getEntry("xl/worksheets/sheet1.xml"))
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    } finally z.close()
+    assert(!xmlText.contains("<v>NaN</v>") && !xmlText.contains("<v>Infinity</v>"))
+    val back = Excel.readXlsx(spark, path).orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(back.toSeq === Seq(("r1", null), ("r2", "Infinity"), ("r3", "1.5")))
+  }
+
   test("writer refuses oversize sheets loudly (report artifact, not a data sink)") {
     val big = spark.range(0, 50).toDF("id")
     val e = intercept[IllegalArgumentException](

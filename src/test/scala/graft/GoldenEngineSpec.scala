@@ -351,6 +351,39 @@ class GoldenEngineSpec extends SparkSpec {
     assert(merged.count === 3000L, s"double-weighted merge: ${merged.count}")
   }
 
+  test("attempt ordering survives a wall clock stepping BACKWARD between attempts") {
+    // scenario: attempt 1 runs with a FAST clock (simulated by rewriting its
+    // ledger rows to a far-future attempt_ts), the clock is then stepped
+    // back, and attempt 2 re-validates under an edited suite. The newer
+    // attempt must still win the latest-attempt reduction — runAndWrite
+    // floors each attempt's ts at 1 + the run's max recorded ts.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledger-clk").toString
+    val pq = Fixtures.docsPq(spark, 1500, 2)
+    val cfgA = EngineConfig(rules = rowRules, ledgerDir = Some(dir), runId = "r1")
+    new ValidationRun(spark, cfgA).runAndWrite(pq, Some(assets), s"$dir/out")
+    // simulate attempt 1 having been stamped by a clock 1h in the future
+    val future = System.currentTimeMillis() + 3600L * 1000
+    val bumped = spark.read.parquet(s"$dir/ledger")
+      .withColumn("attempt_ts", lit(future)).collect()
+    val schema = spark.read.parquet(s"$dir/ledger").schema
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(bumped.toSeq).asJava), schema)
+      .write.mode("overwrite").parquet(s"$dir/ledger")
+    // attempt 2 under an EDITED suite rewrites the artifacts
+    val cfgB = cfgA.copy(rules = rowRules.init)
+    new ValidationRun(spark, cfgB).runAndWrite(pq, Some(assets), s"$dir/out",
+      resume = true)
+    val ledger = spark.read.parquet(s"$dir/ledger")
+    val maxB = ledger.agg(org.apache.spark.sql.functions.max($"attempt_ts"))
+      .head().getLong(0)
+    assert(maxB > future, s"attempt 2 ts $maxB not floored above $future")
+    // the dangerous direction: a resume under suite A must NOT trust the
+    // stale future-stamped rows (the artifacts on disk are suite B's)
+    assert(new ValidationRun(spark, cfgA).completedPartitions() === Set.empty)
+    assert(new ValidationRun(spark, cfgB).completedPartitions() === Set(0, 1))
+  }
+
   test("cross-run HLL drift from the ledger: quiet on same data, fires on a cardinality collapse") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ledger-hd").toString
     val pq = Fixtures.docsPq(spark, 3000, 4)
