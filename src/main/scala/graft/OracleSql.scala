@@ -277,6 +277,27 @@ object OracleSql {
          |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
          |WHERE j >= 0.3""".stripMargin,
 
+    // deterministic hash split: same md5-bucket formula as
+    // Sampling.hashSplitColumn (portable hash % 10000; 80/10/10 boundaries
+    // at 8000/9000)
+    "q40_hash_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |        ${hx("CAST(doc_id AS VARCHAR)")} % 10000 AS b
+         |      FROM documents)""".stripMargin,
+
+    // per-source quota: 10 smallest distinct doc_ids per source (the Spark
+    // side computes this as one bounded-state aggregate)
+    "q41_source_quota" ->
+      s"""SELECT source, doc_id FROM (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM (SELECT DISTINCT source, doc_id FROM documents
+         |        WHERE doc_id IS NOT NULL))
+         |WHERE rn <= 10""".stripMargin,
+
     // transitive near-dup clusters: the q20 exact pair set closed under
     // connectivity (recursive CTE label reachability; cluster = min doc_id).
     // Mirrors Components.connectedComponents over ngramJaccardPairs.

@@ -10,6 +10,7 @@ import graft.stats.Profiler
 import graft.text.Text
 import graft.dedup.{Components, Dedup}
 import graft.sim.Similarity
+import graft.sample.Sampling
 
 /**
  * Driver contract: one `queries` entry per implemented operator
@@ -300,6 +301,21 @@ object SparkEntry {
       Components.nearDupClusters(read(s, dir, "documents"), "text", "doc_id",
         shingleK = 3, minJaccard = 0.3, forceExact = true)
         .select(col("id").as("doc_id"), col("component").as("cluster"))
+    }),
+
+    // deterministic hash split: stable train/val/test assignment keyed on
+    // doc_id (reproducible across runs/engines — the oracle re-derives the
+    // same assignment from the same md5 formula)
+    "q40_hash_split" -> ((s, dir) => {
+      Sampling.hashSplit(read(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("split"))
+    }),
+
+    // per-source quota (source mixing): the 10 smallest doc_ids per source
+    // via ONE bounded-state aggregate — never a per-group window
+    "q41_source_quota" -> ((s, dir) => {
+      Sampling.quotaIds(read(s, dir, "documents"), "source", "doc_id", n = 10)
+        .select(col("group").as("source"), col("id").as("doc_id"))
     }),
 
     // ------------------------------------------------------ similarity search

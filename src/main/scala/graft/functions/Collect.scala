@@ -37,9 +37,37 @@ class CappedMinCollect(cap: Int) extends Aggregator[String, Seq[String], Seq[Str
   def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
 }
 
+/** [[CappedMinCollect]] for LONG ids — same bounded-state contract: state
+  * never exceeds `cap` values, deterministic under any merge order. Backs
+  * the per-group quota sampler (n smallest ids per group as ONE map-side-
+  * combining aggregate instead of a per-group window, whose partitions
+  * cannot be split when one group holds a large share of 10^12 rows). */
+class CappedMinLongCollect(cap: Int)
+    extends Aggregator[java.lang.Long, Seq[Long], Seq[Long]] {
+  require(cap > 0)
+  def zero: Seq[Long] = Vector.empty
+  def reduce(b: Seq[Long], boxed: java.lang.Long): Seq[Long] = {
+    if (boxed == null) return b
+    val v = boxed.longValue()
+    if ((b.size == cap && v >= b.last) || b.contains(v)) return b
+    val at = b.indexWhere(_ > v) match { case -1 => b.size; case i => i }
+    val ins = (b.take(at) :+ v) ++ b.drop(at)
+    if (ins.size > cap) ins.init else ins
+  }
+  def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    (a ++ b).distinct.sorted.take(cap)
+  def finish(s: Seq[Long]): Seq[Long] = s
+  def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}
+
 object Collect {
   /** Column aggregate: `cap` smallest distinct non-null values of a string
     * column (nulls skipped, so `when(mask, col)` collects only masked rows). */
   def cappedMin(cap: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new CappedMinCollect(cap), Encoders.STRING)
+
+  /** Long-typed variant (nulls skipped). */
+  def cappedMinLong(cap: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new CappedMinLongCollect(cap), Encoders.LONG)
 }
