@@ -282,7 +282,8 @@ object OracleSql {
     // at 8000/9000)
     "q40_hash_split" ->
       s"""SELECT doc_id,
-         |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
+         |  CASE WHEN doc_id IS NULL THEN NULL
+         |       WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM (SELECT doc_id,
          |        ${hx("CAST(doc_id AS VARCHAR)")} % 10000 AS b

@@ -22,9 +22,14 @@ object Dedup {
   private def h(c: Column, portable: Boolean): Column =
     if (portable) Text.portableHash(c) else Text.fastHash(c)
 
-  /** Epsilon for the exactness-preserving prunes: relaxes each bound so IEEE
-    * double rounding can only make a prune MORE conservative (a pair at
-    * exactly J = t must never be dropped). */
+  /** RELATIVE epsilon for the exactness-preserving prunes: each bound is
+    * relaxed by eps·magnitude so IEEE double rounding can only make a prune
+    * MORE conservative (a pair at exactly J = t must never be dropped). The
+    * epsilon must scale with the operand — the rounding error of n·t grows
+    * as ~n·2⁻⁵³, so an absolute 1e-9 stops protecting around n ≈ 2·10⁷
+    * shingles; 1e-9 RELATIVE covers every representable n with ~7 orders of
+    * margin over the actual error while still admitting (at most) candidates
+    * a hair below t — which the exact verify then discards. */
   private val PruneEps = 1e-9
 
   // ------------------------------------------------------------------ exact
@@ -209,7 +214,7 @@ object Dedup {
     // prefix by one (100·0.55 evaluates to 55.00000000000001 → ceil 56 →
     // a containment pair at exactly J = t loses its only shared prefix
     // token). A longer prefix only costs candidates, never recall.
-    val prefixLen = (n - ceil(n * lit(minJaccard) - PruneEps) + 1).cast("int")
+    val prefixLen = (n - ceil(n * lit(minJaccard * (1 - PruneEps))) + 1).cast("int")
     val withPrefix = sh.select(col("id"), col("sh"), n.as("n"),
       slice(col("sh"), lit(1), prefixLen).as("prefix"))
     val tokens = withPrefix.select(col("id"), col("n"),
@@ -223,19 +228,18 @@ object Dedup {
     //    order), the overlap can't exceed 1 + min(|a|−i−1, |b|−j−1), which
     //    must reach the equivalent overlap threshold α = ⌈t/(1+t)·(|a|+|b|)⌉.
     // Both run inside the join condition, before the distinct/verify stages.
-    // Each bound is relaxed by a 1e-9 epsilon so double rounding can only
-    // make the prune MORE conservative: e.g. 100·0.55 evaluates to
+    // Each bound is relaxed by the RELATIVE PruneEps so double rounding can
+    // only make the prune MORE conservative: e.g. 100·0.55 evaluates to
     // 55.00000000000001, which would wrongly prune an |a|=100,|b|=55
     // containment pair at exactly J = t (55 ≥ 55.000…01 is false); likewise
     // ceil() at an integer boundary (ADVICE r4).
-    val eps = PruneEps
-    val alpha = ceil(lit(minJaccard) / (1 + minJaccard) *
-      (col("a.n") + col("b.n")) - eps)
+    val alpha = ceil(lit(minJaccard / (1 + minJaccard) * (1 - PruneEps)) *
+      (col("a.n") + col("b.n")))
     val cands = tokens.alias("a")
       .join(tokens.alias("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
           least(col("a.n"), col("b.n")).cast("double") >=
-            greatest(col("a.n"), col("b.n")) * minJaccard - eps &&
+            greatest(col("a.n"), col("b.n")) * (minJaccard * (1 - PruneEps)) &&
           (lit(1) + least(col("a.n") - col("a.pos") - 1,
                           col("b.n") - col("b.pos") - 1)) >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
@@ -292,10 +296,10 @@ object Dedup {
     val sa = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
     val sb = sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))
     val verified = cands.join(sa, "id_a").join(sb, "id_b")
-      // epsilon keeps the length prune strictly conservative at exact-
-      // threshold pairs (same rounding case as the exact path's filter)
+      // relative epsilon keeps the length prune strictly conservative at
+      // exact-threshold pairs (same rounding case as the exact path's filter)
       .where(least(col("n_a"), col("n_b")).cast("double") >=
-             greatest(col("n_a"), col("n_b")) * minJaccard - PruneEps)
+             greatest(col("n_a"), col("n_b")) * (minJaccard * (1 - PruneEps)))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))

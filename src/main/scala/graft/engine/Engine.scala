@@ -371,12 +371,15 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
       // attempt always wins the readers' max_by reduction even if the wall
       // clock says otherwise. One read of the (tiny) ledger, resume-only in
       // effect — a fresh run's ledger dir is empty.
+      // Only a MISSING/empty ledger (every fresh run) legitimately yields 0;
+      // a genuine read failure must propagate — silently flooring at 0 would
+      // disable the skew guard and let a stale attempt win again.
       val prevMaxTs: Long = try {
         spark.read.option("mergeSchema", "true").parquet(lp)
           .where($"run_id" === config.runId)
           .agg(max(coalesce(col("attempt_ts"), lit(0L)))).as[Option[Long]]
           .head().getOrElse(0L)
-      } catch { case _: Throwable => 0L }
+      } catch { case _: org.apache.spark.sql.AnalysisException => 0L }
       val attemptTs = math.max(AttemptClock.next(), prevMaxTs + 1)
       // real per-partition violation counts (r2 stubbed this as -1): the
       // violations frame is cached, so this group-count costs no re-scan

@@ -38,14 +38,20 @@ object Excel {
   // --------------------------------------------------------------- reading
 
   private def xml(bytes: Array[Byte]): org.w3c.dom.Document = {
-    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    def parse(nsAware: Boolean) = {
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      f.setNamespaceAware(nsAware)
+      // no DTDs/external entities in SpreadsheetML — close the XXE door
+      f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(bytes))
+    }
     // namespace-aware so producers that PREFIX the main SpreadsheetML
     // namespace (<x:sheet>, <x:row> — valid OOXML) parse the same as the
-    // common default-namespace form; lookups below match by LOCAL name
-    f.setNamespaceAware(true)
-    // no DTDs/external entities in SpreadsheetML — close the XXE door
-    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-    f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(bytes))
+    // common default-namespace form (lookups below match by LOCAL name);
+    // sloppy producers with UNDECLARED prefixes fail the strict parse, and
+    // the robust-loader contract says read them anyway → lenient retry
+    try parse(nsAware = true)
+    catch { case _: org.xml.sax.SAXException => parse(nsAware = false) }
   }
 
   private def zipEntry(z: java.util.zip.ZipFile, name: String): Option[Array[Byte]] =
@@ -54,14 +60,19 @@ object Excel {
       try in.readAllBytes() finally in.close()
     }
 
-  private def elems(d: org.w3c.dom.Document, tag: String): Seq[org.w3c.dom.Element] = {
-    val nl = d.getElementsByTagNameNS("*", tag)
-    (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
+  // local-name lookup first (namespace-aware docs, any prefix); fall back to
+  // qualified-name lookup for docs from the lenient non-NS parse, where
+  // localName is null and the NS lookup matches nothing
+  private def byTag(nl: => org.w3c.dom.NodeList,
+                    fallback: => org.w3c.dom.NodeList): Seq[org.w3c.dom.Element] = {
+    val a = nl
+    val n = if (a.getLength > 0) a else fallback
+    (0 until n.getLength).map(n.item(_).asInstanceOf[org.w3c.dom.Element])
   }
-  private def childElems(e: org.w3c.dom.Element, tag: String): Seq[org.w3c.dom.Element] = {
-    val nl = e.getElementsByTagNameNS("*", tag)
-    (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
-  }
+  private def elems(d: org.w3c.dom.Document, tag: String): Seq[org.w3c.dom.Element] =
+    byTag(d.getElementsByTagNameNS("*", tag), d.getElementsByTagName(tag))
+  private def childElems(e: org.w3c.dom.Element, tag: String): Seq[org.w3c.dom.Element] =
+    byTag(e.getElementsByTagNameNS("*", tag), e.getElementsByTagName(tag))
 
   private val RelNs = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
   /** r:id regardless of the document's prefix for the relationships ns. */
@@ -282,17 +293,25 @@ object Excel {
   def writeXlsx(path: String, sheets: Seq[(String, DataFrame)],
                 maxRowsPerSheet: Int = SheetRowLimit - 1): Unit = {
     require(sheets.nonEmpty, "writeXlsx needs at least one sheet")
+    val names = sheets.zipWithIndex.map { case ((n, _), i) => safeSheetName(n, i) }
+    require(names.distinct.size == names.size,
+      s"duplicate sheet names after sanitization: ${names.mkString(", ")}")
+    // every schema-level check runs BEFORE the output stream opens — a
+    // failed require must not leave a partial workbook on disk
+    sheets.zipWithIndex.foreach { case ((_, df), i) =>
+      require(df.columns.length <= SheetColLimit,
+        s"sheet '${names(i)}' has ${df.columns.length} columns — the xlsx " +
+        s"format caps at $SheetColLimit; export wide data as parquet/CSV")
+    }
     val out = new java.util.zip.ZipOutputStream(
       new java.io.BufferedOutputStream(new java.io.FileOutputStream(path)))
+    var failed = false
     def part(name: String, content: String): Unit = {
       out.putNextEntry(new java.util.zip.ZipEntry(name))
       out.write(content.getBytes("UTF-8"))
       out.closeEntry()
     }
     try {
-      val names = sheets.zipWithIndex.map { case ((n, _), i) => safeSheetName(n, i) }
-      require(names.distinct.size == names.size,
-        s"duplicate sheet names after sanitization: ${names.mkString(", ")}")
       part("[Content_Types].xml",
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
         """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
@@ -331,9 +350,6 @@ object Excel {
         """<cellXfs count="1"><xf xfId="0"/></cellXfs>""" +
         """</styleSheet>""")
       sheets.zipWithIndex.foreach { case ((_, df), i) =>
-        require(df.columns.length <= SheetColLimit,
-          s"sheet '${names(i)}' has ${df.columns.length} columns — the xlsx " +
-          s"format caps at $SheetColLimit; export wide data as parquet/CSV")
         // bound check BEFORE collecting rows: limit(max+1) costs one extra
         // row, not a count() job
         val rows = df.limit(maxRowsPerSheet + 1).collect()
@@ -343,7 +359,13 @@ object Excel {
         part(s"xl/worksheets/sheet${i + 1}.xml",
           sheetXml(df.columns.toSeq, rows.iterator))
       }
-    } finally out.close()
+    } catch { case e: Throwable =>
+      // never leave a truncated-but-openable-looking workbook behind
+      failed = true
+      try out.close() catch { case _: Throwable => () }
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+      throw e
+    } finally if (!failed) out.close()
   }
 
   /** The reference's 4-sheet Data Package (`exporter.py:7-36`):

@@ -42,12 +42,15 @@ object Sampling {
     val bucket = pmod(h, lit(buckets))
     val bounds = splits.scanLeft(0.0)(_ + _._2).tail
       .map(c => math.floor(c * buckets).toLong)
-    // last bound is exactly `buckets` (fractions sum to 1) — every bucket
-    // value is covered; the otherwise() is unreachable but keeps the
-    // expression total
-    splits.zip(bounds).foldRight(lit(splits.last._1): Column) {
+    // the last bound is `buckets` (fractions sum to 1) so every bucket value
+    // is covered; the otherwise() keeps the expression total
+    val assigned = splits.zip(bounds).foldRight(lit(splits.last._1): Column) {
       case (((name, _), bound), acc) => when(bucket < bound, name).otherwise(acc)
     }
+    // a null id has no stable identity to key on — it must get a null split,
+    // not silently pool in the last split and contaminate the eval set
+    // (validation flags null ids; callers decide their fate explicitly)
+    when(idCol.isNull, lit(null)).otherwise(assigned)
   }
 
   /** Adds a `split` column — default 80/10/10 train/val/test. */
