@@ -299,6 +299,17 @@ object OracleSql {
          |        WHERE doc_id IS NOT NULL))
          |WHERE rn <= 10""".stripMargin,
 
+    // stratified deterministic mixture sample: per-lang keep thresholds over
+    // the SALTED portable hash (the salt decouples the keep decision from
+    // q40's split buckets — same md5 formula, '#strata'-suffixed input)
+    "q42_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    ${hx("CAST(doc_id AS VARCHAR) || '#strata'")} % 10000 AS b
+         |  FROM documents WHERE doc_id IS NOT NULL)
+         |WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 10000
+         |               WHEN 'es' THEN 2500 WHEN 'de' THEN 1000 ELSE 0 END""".stripMargin,
+
     // transitive near-dup clusters: the q20 exact pair set closed under
     // connectivity (recursive CTE label reachability; cluster = min doc_id).
     // Mirrors Components.connectedComponents over ngramJaccardPairs.

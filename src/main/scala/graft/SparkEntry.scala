@@ -318,6 +318,15 @@ object SparkEntry {
         .select(col("group").as("source"), col("id").as("doc_id"))
     }),
 
+    // stratified deterministic mixture sample by language: per-group keep
+    // fractions over a SALTED portable hash — a pure projection filter (zero
+    // shuffle), stable under retries/backfills, decoupled from the q40 split
+    "q42_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedHashSample(read(s, dir, "documents"), "doc_id", "lang",
+        fractions = Map("en" -> 0.5, "zh" -> 1.0, "es" -> 0.25, "de" -> 0.1))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // ------------------------------------------------------ similarity search
     // brute-force cosine top-1 for the first 10 vectors
     "q19_cosine_top1" -> ((s, dir) => {

@@ -60,6 +60,92 @@ object Sampling {
                 buckets: Int = 10000, portable: Boolean = true): DataFrame =
     df.withColumn("split", hashSplitColumn(col(idCol), splits, buckets, portable))
 
+  /** Keep-decision column for per-group deterministic fraction sampling:
+    * keeps a row iff `hash(id + '#' + salt) mod buckets` falls under its
+    * group's threshold `rint(fraction · buckets)` (nearest-integer, so 0.3
+    * means 3000/10000 buckets — `floor` would yield 2999 from the double
+    * 0.3·10000 = 2999.999…). The salt DECOUPLES this decision from
+    * [[hashSplitColumn]] and from any other sampling pass: without it,
+    * sampling at 0.5 would keep exactly the buckets train/val/test were
+    * carved from, so the sample's split mix would be degenerate, not
+    * representative. Null group → `defaultFraction`; null id → never kept
+    * (no stable identity to key on — same rule as the null split).
+    *
+    * Fractions are realized in expectation (each id is an independent
+    * deterministic coin), which is what a 10^12-doc mixture needs: exact
+    * per-group counts would take a global sort or per-group windows; a
+    * hash-fraction stays a pure projection, is stable under retries and
+    * backfills (the SAME doc is kept on every re-run), and composes with
+    * incremental ingestion (new docs don't flip old keep decisions). */
+  def stratifiedKeepColumn(idCol: Column, groupCol: Column,
+                           fractions: Map[String, Double],
+                           defaultFraction: Double = 0.0,
+                           salt: String = "strata",
+                           buckets: Int = 10000,
+                           portable: Boolean = true): Column = {
+    (fractions.values ++ Seq(defaultFraction)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction out of [0,1]: $f"))
+    val salted = concat(idCol.cast("string"), lit("#" + salt))
+    val h = if (portable) Text.portableHash(salted) else Text.fastHash(salted)
+    val bucket = pmod(h, lit(buckets))
+    def bound(f: Double): Long = math.rint(f * buckets).toLong
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldRight(lit(bound(defaultFraction)): Column) {
+        case ((g, f), acc) => when(groupCol === g, bound(f)).otherwise(acc)
+      }
+    idCol.isNotNull && bucket < threshold
+  }
+
+  /** Filters `df` to the per-group deterministic sample. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, groupCol: String,
+                           fractions: Map[String, Double],
+                           defaultFraction: Double = 0.0,
+                           salt: String = "strata",
+                           buckets: Int = 10000,
+                           portable: Boolean = true): DataFrame =
+    df.where(stratifiedKeepColumn(col(idCol), col(groupCol), fractions,
+      defaultFraction, salt, buckets, portable))
+
+  /** Per-group keep fractions that realize a target mixture: sources get
+    * expected counts proportional to `weights` (normalized over positive
+    * entries), totalling `targetTotal` — unless a bottleneck source can't
+    * supply its share, in which case the TOTAL is scaled down so the realized
+    * RATIOS still match the weights exactly (the ratios are the point of
+    * mixture sampling; silently clamping one source would skew every other
+    * source's share). Driver-side pure math over per-group counts. */
+  def mixtureFractions(groupCounts: Map[String, Long],
+                       weights: Map[String, Double],
+                       targetTotal: Long): Map[String, Double] = {
+    require(targetTotal > 0, "targetTotal must be positive")
+    weights.values.foreach(w => require(w >= 0, s"negative weight: $w"))
+    val pos = weights.filter(_._2 > 0)
+    require(pos.nonEmpty, "need at least one positive weight")
+    val norm = pos.values.sum
+    val wn = pos.map { case (g, w) => g -> w / norm }
+    val feasibleTotal = wn.map { case (g, w) =>
+      val c = groupCounts.getOrElse(g, 0L)
+      require(c > 0, s"mixture weight on empty/absent group '$g'")
+      c / w
+    }.min
+    val t = math.min(targetTotal.toDouble, feasibleTotal)
+    wn.map { case (g, w) => g -> math.min(1.0, w * t / groupCounts(g)) }
+  }
+
+  /** One-call mixture sampling: ONE count aggregate over the group column
+    * (tiny result — one row per group), driver-side fraction solve, then the
+    * zero-shuffle stratified filter. Groups with no weight get fraction 0. */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+                    weights: Map[String, Double], targetTotal: Long,
+                    salt: String = "strata", buckets: Int = 10000,
+                    portable: Boolean = true): DataFrame = {
+    val counts = df.where(col(groupCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fr = mixtureFractions(counts, weights, targetTotal)
+    stratifiedHashSample(df, idCol, groupCol, fr,
+      defaultFraction = 0.0, salt, buckets, portable)
+  }
+
   /** The `n` smallest distinct non-null ids per group, exploded to
     * (group, id) rows. One bounded-state aggregate (see scale note above). */
   def quotaIds(df: DataFrame, groupCol: String, idCol: String,
