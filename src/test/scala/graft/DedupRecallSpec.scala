@@ -106,6 +106,41 @@ class DedupRecallSpec extends SparkSpec {
       s"containment pair at J = 0.55 lost to floating-point pruning: $got")
   }
 
+  test("RELATIVE prune epsilon protects exact-threshold pairs at web-scale shingle counts") {
+    // Pure arithmetic of the length filter, at sizes no fixture can reach:
+    // containment pair |b| ⊂ |a| whose double-computed Jaccard equals the
+    // threshold EXACTLY (t := nb/na as a double, the same division the
+    // verify stage computes). The filter keeps the pair iff
+    // nb ≥ na·(t·(1−eps)). The superseded ABSOLUTE epsilon (nb ≥ na·t−1e-9)
+    // stops protecting once the rounding error of na·t (~na·t·2⁻⁵³) exceeds
+    // 1e-9, i.e. around 2·10⁷ shingles — demonstrated below, which is WHY
+    // the epsilon is relative (review pass after ADVICE r4).
+    val eps = 1e-9
+    // sweep: every exact-threshold containment pair must survive the filter
+    val nas = Seq(1000L, 4L << 20, 30L << 20, 1L << 30, (1L << 40) + 7)
+    for (na <- nas; frac <- Seq(0.3, 0.55, 0.7, 1.0 / 3, 2.0 / 3)) {
+      val nb = math.ceil(na * frac).toLong
+      val t = nb.toDouble / na.toDouble // exact-threshold pair: J == t
+      assert(nb.toDouble >= na.toDouble * (t * (1 - eps)),
+        s"RELATIVE eps pruned an exact-threshold pair: na=$na nb=$nb t=$t")
+    }
+    // concrete counterexamples (found by search) where fl(na·t) − 1e-9 > nb,
+    // i.e. the superseded ABSOLUTE epsilon prunes a pair whose
+    // double-computed Jaccard equals t exactly — while the relative form
+    // keeps it. The error of na·t grows as ~na·t·2⁻⁵³, so a fixed 1e-9
+    // cannot cover it once na·t is large enough.
+    val counterexamples = Seq(
+      (61357375L, 32222812L), (88481085L, 46258752L), (95147206L, 48193421L))
+    counterexamples.foreach { case (na, nb) =>
+      val t = nb.toDouble / na.toDouble
+      assert(!(nb.toDouble >= na.toDouble * t - 1e-9),
+        s"expected the absolute epsilon to over-prune at na=$na nb=$nb " +
+        "— if it doesn't, the relative-epsilon rationale is moot")
+      assert(nb.toDouble >= na.toDouble * (t * (1 - eps)),
+        s"RELATIVE eps must keep the counterexample pair: na=$na nb=$nb")
+    }
+  }
+
   test("ngramJaccardPairs low-t default routes via MinHash: zero false positives, full recall at J≥0.6") {
     val df = docs.toDF("doc_id", "text")
     // default at t=0.3 takes the banded-MinHash + exact-verify scale path
