@@ -141,7 +141,18 @@ object Drift {
     * threshold while a real shift still exceeds it by 10-100×. */
   def chi2FromSketches(a: Sketches.KllSketch, b: Sketches.KllSketch,
                        bins: Int = 16): Chi2Result = {
-    if (a.count == 0 || b.count == 0) return Chi2Result(0.0, 0)
+    alignedHistograms(a, b, bins) match {
+      case Some((ha, hb)) => chi2FromHistograms(ha, hb)
+      case None => Chi2Result(0.0, 0)
+    }
+  }
+
+  /** Equi-width histograms of both sketches over their COMBINED range (same
+    * bin edges on both sides), counts reconstructed from each sketch's CDF
+    * mass per bin. None when either side is empty. */
+  def alignedHistograms(a: Sketches.KllSketch, b: Sketches.KllSketch,
+                        bins: Int = 16): Option[(Array[Long], Array[Long])] = {
+    if (a.count == 0 || b.count == 0) return None
     val lo = math.min(a.minV, b.minV)
     val hi0 = math.max(a.maxV, b.maxV)
     val hi = if (hi0 == lo) lo + 1 else hi0
@@ -152,8 +163,67 @@ object Drift {
         math.round(p * s.count)
       }.toArray
     }
-    chi2FromHistograms(hist(a), hist(b))
+    Some((hist(a), hist(b)))
   }
+
+  /** Population Stability Index over two aligned histograms:
+    * PSI = Σ_i (p_i − q_i)·ln(p_i/q_i) — the scorecard-monitoring drift
+    * measure, complementing KS (max CDF displacement) and χ² (significance
+    * test) with an aggregate mass-movement size that is sample-size-free:
+    * at 10^12 rows χ² flags any microscopic shift as significant, while PSI
+    * stays a pure effect size. Conventional bands: < 0.1 stable, 0.1–0.25
+    * moderate shift, ≥ 0.25 major shift.
+    *
+    * Bins empty on one side get `smooth` probability mass (the standard
+    * guard — the log term diverges on true zeros); bins empty on BOTH sides
+    * are skipped entirely so unused range doesn't accumulate smoothing
+    * noise. */
+  def psiFromHistograms(a: Array[Long], b: Array[Long],
+                        smooth: Double = 1e-4): Double = {
+    require(a.length == b.length, "histograms must share bin edges")
+    val na = a.sum.toDouble; val nb = b.sum.toDouble
+    if (na == 0 || nb == 0) return 0.0
+    var psi = 0.0
+    a.indices.foreach { i =>
+      if (a(i) + b(i) > 0) {
+        val p = math.max(a(i) / na, smooth)
+        val q = math.max(b(i) / nb, smooth)
+        psi += (p - q) * math.log(p / q)
+      }
+    }
+    psi
+  }
+
+  /** PSI between two KLL sketches (same reconstruction as
+    * [[chi2FromSketches]], same coarse-bin rationale). */
+  def psiFromSketches(a: Sketches.KllSketch, b: Sketches.KllSketch,
+                      bins: Int = 16): Double =
+    alignedHistograms(a, b, bins) match {
+      case Some((ha, hb)) => psiFromHistograms(ha, hb)
+      case None => 0.0
+    }
+
+  case class PsiReport(name: String, psi: Double, band: String,
+                       drifted: Boolean)
+
+  /** PSI verdict with the conventional banding; `threshold` defaults to the
+    * major-shift boundary. */
+  def psiCheck(a: Sketches.KllSketch, b: Sketches.KllSketch, name: String,
+               bins: Int = 16, threshold: Double = 0.25): PsiReport = {
+    val psi = psiFromSketches(a, b, bins)
+    val band = if (psi < 0.1) "stable"
+               else if (psi < 0.25) "moderate" else "major"
+    PsiReport(name, psi, band, psi >= threshold)
+  }
+
+  /** Cross-run PSI verdict from ledger sketches — zero data re-scan, same
+    * contract as [[ledgerDrift]]. */
+  def ledgerPsi(ledger: DataFrame, runA: String, runB: String, name: String,
+                bins: Int = 16, threshold: Double = 0.25): Option[PsiReport] =
+    for {
+      a <- mergeLedgerSketches(ledger, runA, name)
+      b <- mergeLedgerSketches(ledger, runB, name)
+    } yield psiCheck(a, b, name, bins, threshold)
 
   /** Drift verdict from two (possibly merged per-partition / cross-run)
     * sketches — no data scan at all.

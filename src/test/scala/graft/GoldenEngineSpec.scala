@@ -174,6 +174,13 @@ class GoldenEngineSpec extends SparkSpec {
     // and the drift evaluation itself never touches the docs table: the only
     // parquet it reads is the (tiny) ledger
     assert(graft.stats.Drift.ledgerDrift(ledger, "base", "missing", "n_spans").isEmpty)
+    // PSI face of the same ledger sketches: stable across identical runs,
+    // major on the shift — also zero re-scan
+    val psiQuiet = graft.stats.Drift.ledgerPsi(ledger, "base", "same", "n_spans").get
+    val psiLoud = graft.stats.Drift.ledgerPsi(ledger, "base", "shifted", "n_spans").get
+    assert(psiQuiet.band === "stable" && !psiQuiet.drifted, psiQuiet.toString)
+    assert(psiLoud.drifted, psiLoud.toString)
+    assert(graft.stats.Drift.ledgerPsi(ledger, "base", "missing", "n_spans").isEmpty)
   }
 
   test("ledger carries real per-partition violation counts (r2 stubbed -1)") {

@@ -55,6 +55,31 @@ class StatsSpec extends SparkSpec {
     assert(diffR.statistic > 100.0)
   }
 
+  test("PSI: stable on identical distributions, major on a real shift, banded") {
+    // driver-built sketches (KllSketch.update) — PSI is a sketch fold, no
+    // Spark needed for the math itself
+    def sketchOf(vs: Iterable[Double]): Sketches.KllSketch = {
+      val s = new Sketches.KllSketch(2048); vs.foreach(s.update); s
+    }
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(20000)(rnd.nextGaussian() * 10 + 50)
+    val same = Array.fill(20000)(rnd.nextGaussian() * 10 + 50)
+    val shifted = base.map(_ * 1.3 + 20.0)
+    val quiet = Drift.psiCheck(sketchOf(base), sketchOf(same), "v")
+    assert(quiet.band === "stable" && !quiet.drifted, quiet.toString)
+    val loud = Drift.psiCheck(sketchOf(base), sketchOf(shifted), "v")
+    assert(loud.band === "major" && loud.drifted, loud.toString)
+    assert(loud.psi > quiet.psi * 10)
+    // histogram-level: PSI is symmetric-in-magnitude and zero on equality
+    val ha = Array(100L, 300L, 600L); val hb = Array(300L, 300L, 400L)
+    assert(Drift.psiFromHistograms(ha, ha) === 0.0)
+    assert(math.abs(Drift.psiFromHistograms(ha, hb) -
+                    Drift.psiFromHistograms(hb, ha)) < 1e-12)
+    // bins empty on BOTH sides contribute nothing (no smoothing noise);
+    // totals differing only in scale give PSI 0 (it compares proportions)
+    assert(Drift.psiFromHistograms(Array(10L, 0L, 30L), Array(20L, 0L, 60L)) < 1e-12)
+  }
+
   test("mean-shift mirrors quality_report.py tolerance rule") {
     val r = Drift.meanShift(baseMean = 100.0, baseStd = 10.0, curMean = 104.0,
       column = "v", importance = 1.0)
