@@ -310,6 +310,17 @@ object OracleSql {
          |WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 10000
          |               WHEN 'es' THEN 2500 WHEN 'de' THEN 1000 ELSE 0 END""".stripMargin,
 
+    // corpus token heavy hitters: the Spark side computes this with the
+    // Misra–Gries summary in its exact regime (capacity > vocabulary), so
+    // the exact GROUP BY is the right oracle; same (cnt desc, value asc)
+    // deterministic tie-break on both sides
+    "q43_token_heavy_hitters" ->
+      s"""SELECT tok AS value, CAST(count(*) AS BIGINT) AS cnt
+         |FROM (SELECT unnest(string_split(text, ' ')) AS tok
+         |      FROM documents WHERE text IS NOT NULL)
+         |WHERE tok <> ''
+         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 15""".stripMargin,
+
     // transitive near-dup clusters: the q20 exact pair set closed under
     // connectivity (recursive CTE label reachability; cluster = min doc_id).
     // Mirrors Components.connectedComponents over ngramJaccardPairs.

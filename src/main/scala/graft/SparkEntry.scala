@@ -327,6 +327,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // corpus token heavy hitters via the mergeable Misra–Gries summary: ONE
+    // O(capacity)-state aggregate, never a full-domain groupBy shuffle (a
+    // token column at 100 TB has billions of distinct values). capacity 64
+    // exceeds the fixture vocabulary, so the summary is provably exact here
+    // (max_err = 0) and hash-comparable to the oracle's exact GROUP BY; the
+    // approximate regime's under-count/error-bound guarantees are pinned in
+    // SketchSpec.
+    "q43_token_heavy_hitters" -> ((s, dir) => {
+      val toks = read(s, dir, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("tok"))
+        .where(col("tok") =!= "")
+      Profiler.heavyHitters(toks, col("tok"), k = 15, capacity = 64)
+        .select(col("value"), col("cnt"))
+    }),
+
     // ------------------------------------------------------ similarity search
     // brute-force cosine top-1 for the first 10 vectors
     "q19_cosine_top1" -> ((s, dir) => {

@@ -161,6 +161,25 @@ object Profiler {
     df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col(c).asc_nulls_last).limit(k)
 
+  /** Heavy hitters via the mergeable Misra–Gries summary
+    * ([[Sketches.MgSketch]]): ONE aggregate whose state is O(capacity) per
+    * partition — unlike [[topK]], which shuffles the full distinct domain
+    * and is the wrong plan when that domain is huge (tokens at 100 TB).
+    * Returns (value, cnt, max_err) sorted by (cnt desc, value asc);
+    * `max_err = 0` means the summary never spilled and every cnt is exact
+    * (guaranteed whenever the distinct count stays ≤ capacity). */
+  def heavyHitters(df: DataFrame, c: Column, k: Int,
+                   capacity: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bytes = df.select(c.cast("string").as("v"))
+      .agg(Sketches.mgSketch(capacity)(col("v")).as("s"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val s = Sketches.MgSketch.fromBytes(bytes)
+    s.topK(k).toSeq.map { case (v, cnt) => (v, cnt, s.maxError) }
+      .toDF("value", "cnt", "max_err")
+  }
+
   /** A7 — mode with deterministic tie-break (smallest value wins). */
   def mode(df: DataFrame, c: String): Option[Any] =
     topK(df.filter(col(c).isNotNull), c, 1).collect().headOption.map(_.get(0))

@@ -273,6 +273,121 @@ object Sketches {
       sketches.map(fromBytes).reduce(_ merge _)
   }
 
+  // ------------------------------------------------- Misra–Gries heavy hitters
+  /**
+   * Mergeable frequent-items summary (Misra–Gries 1982; merge rule from
+   * Agarwal et al., "Mergeable Summaries", PODS 2012): at most `capacity`
+   * counters; an arrival with no counter and a full table decrements ALL
+   * counters by 1 (dropping zeros) — each such step cancels capacity+1 units
+   * of count mass, so total decrement ≤ n/(capacity+1). Merge sums counters
+   * pointwise, then subtracts the (capacity+1)-th largest count from all and
+   * drops non-positives — the PODS'12 result is that the n/(capacity+1)
+   * error bound survives ANY merge tree, which is exactly what Spark's
+   * partial-aggregate + exchange + ledger-row cross-run merging needs.
+   *
+   * Estimates are UNDER-counts with a tracked bound:
+   * `est(x) ≤ true(x) ≤ est(x) + maxError`, and every item with
+   * `true(x) > maxError` is guaranteed present. When the distinct count
+   * never exceeds `capacity` (across all merge inputs), no decrement ever
+   * fires and the summary is EXACT — the regime q43's DuckDB oracle checks;
+   * the approximate regime's guarantees are pinned in SketchSpec.
+   *
+   * Why not `groupBy(col).count.orderBy.limit(k)`: that shuffles the FULL
+   * distinct domain (at 100 TB a token column has billions of distinct
+   * values); the MG aggregate's state is O(capacity) per partition, the
+   * exchange moves one small map per partition, and the summary persists in
+   * the ledger and merges across runs like [[KllSketch]]/[[HllState]].
+   */
+  final class MgSketch(val capacity: Int) extends Serializable {
+    import scala.collection.mutable
+    private[stats] val counts = mutable.HashMap.empty[String, Long]
+    /** Cumulative per-item decrement — the additive error bound. */
+    var maxError: Long = 0L
+    /** Items seen (n), including nulls' exclusion upstream. */
+    var total: Long = 0L
+
+    def update(x: String): Unit = {
+      total += 1
+      counts.get(x) match {
+        case Some(c) => counts(x) = c + 1
+        case None if counts.size < capacity => counts(x) = 1L
+        case None =>
+          // classic MG decrement-all step: O(capacity), amortized O(1)/item
+          // (each step retires capacity+1 units of arrival mass)
+          maxError += 1
+          counts.filterInPlace((_, c) => c > 1)
+          counts.mapValuesInPlace((_, c) => c - 1)
+      }
+    }
+
+    /** PODS'12 merge: pointwise sum, then level by the (capacity+1)-th
+      * largest count so at most `capacity` counters survive. */
+    def merge(o: MgSketch): MgSketch = {
+      o.counts.foreach { case (k, v) =>
+        counts.updateWith(k) { c => Some(c.getOrElse(0L) + v) } }
+      total += o.total
+      maxError += o.maxError
+      if (counts.size > capacity) {
+        val level = counts.values.toArray.sorted(Ordering[Long].reverse)(capacity)
+        maxError += level
+        counts.filterInPlace((_, c) => c > level)
+        counts.mapValuesInPlace((_, c) => c - level)
+      }
+      this
+    }
+
+    /** Estimated count (lower bound; 0 when absent). */
+    def estimate(x: String): Long = counts.getOrElse(x, 0L)
+
+    /** Counters sorted by (count desc, value asc) — deterministic like
+      * [[graft.stats.Profiler.topK]]. */
+    def topK(k: Int): Array[(String, Long)] =
+      counts.toArray.sortBy { case (v, c) => (-c, v) }.take(k)
+
+    def toBytes: Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bo)
+      o.writeByte(1) // version
+      o.writeInt(capacity); o.writeLong(total); o.writeLong(maxError)
+      o.writeInt(counts.size)
+      counts.foreach { case (k, v) => o.writeUTF(k); o.writeLong(v) }
+      o.flush(); bo.toByteArray
+    }
+  }
+
+  object MgSketch {
+    def fromBytes(bytes: Array[Byte]): MgSketch = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      require(in.readByte() == 1, "unknown MG sketch version")
+      val s = new MgSketch(in.readInt())
+      s.total = in.readLong(); s.maxError = in.readLong()
+      val n = in.readInt()
+      (0 until n).foreach(_ => s.counts += (in.readUTF() -> in.readLong()))
+      s
+    }
+    /** Merge previously-exported summaries (ledger rows → one summary). */
+    def mergeAll(sketches: Seq[Array[Byte]]): MgSketch =
+      sketches.map(fromBytes).reduce(_ merge _)
+  }
+
+  /** Exportable-state MG aggregate (output = serialized summary); NULLs
+    * skipped via Option like [[KllSketchAggregator]]. */
+  class MgSketchAggregator(capacity: Int = 4096)
+      extends Aggregator[Option[String], MgSketch, Array[Byte]] {
+    def zero: MgSketch = new MgSketch(capacity)
+    def reduce(s: MgSketch, v: Option[String]): MgSketch = {
+      v.foreach(s.update); s
+    }
+    def merge(a: MgSketch, b: MgSketch): MgSketch = a.merge(b)
+    def finish(s: MgSketch): Array[Byte] = s.toBytes
+    def bufferEncoder: Encoder[MgSketch] = Encoders.kryo[MgSketch]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  def mgSketch(capacity: Int = 4096): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new MgSketchAggregator(capacity),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Option[String]]())
+
   /** Exportable-state KLL aggregate (output = serialized sketch). Input is
     * Option[Double] so SQL NULLs are skipped explicitly. Buffer rides kryo
     * (ObjectHashAggregate partial-merges it; the driver never sees rows). */

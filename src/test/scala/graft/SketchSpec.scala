@@ -115,4 +115,95 @@ class SketchSpec extends SparkSpec {
     // median doc has between 1 and 6 spans by fixture construction
     assert(a.quantile(0.5) >= 1.0 && a.quantile(0.5) <= 6.0)
   }
+
+  // ---------------------------------------------- Misra–Gries heavy hitters
+
+  /** Deterministic Zipf-ish stream: item i (1-based) appears ⌊600/i⌋ times
+    * for i ≤ 60, plus 400 distinct singletons — 460 distinct values. */
+  private def zipfStream: Seq[String] = {
+    val heads = (1 to 60).flatMap(i => Seq.fill(600 / i)(f"item$i%03d"))
+    val tail = (0 until 400).map(i => f"noise$i%03d")
+    // interleave deterministically so evictions happen throughout the stream
+    (heads ++ tail).zipWithIndex
+      .sortBy { case (_, ix) => (ix * 2654435761L) & 0xffffffffL }
+      .map(_._1)
+  }
+
+  test("MG exact regime: distinct <= capacity gives exact counts, zero error") {
+    val s = new Sketches.MgSketch(64)
+    val data = Seq.fill(50)("a") ++ Seq.fill(50)("b") ++ Seq.fill(7)("c") ++
+      (0 until 30).map(i => s"one$i")
+    data.foreach(s.update)
+    assert(s.maxError === 0L && s.total === data.length)
+    assert(s.estimate("a") === 50 && s.estimate("c") === 7 && s.estimate("one5") === 1)
+    // deterministic (count desc, value asc) order, ties broken by value
+    assert(s.topK(3).toSeq === Seq(("a", 50L), ("b", 50L), ("c", 7L)))
+  }
+
+  test("MG approximate regime: under-counts within the tracked bound, " +
+       "true heavy hitters always present, error <= n/(capacity+1)") {
+    val data = zipfStream
+    val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val s = new Sketches.MgSketch(32)
+    data.foreach(s.update)
+    assert(s.maxError > 0, "stream must exercise the eviction path")
+    assert(s.maxError <= data.size / 33, "classic MG bound n/(capacity+1)")
+    truth.foreach { case (v, c) =>
+      val est = s.estimate(v)
+      assert(est <= c && c <= est + s.maxError, s"$v: est=$est true=$c err=${s.maxError}")
+      if (c > s.maxError) assert(est > 0, s"guaranteed hitter $v (true $c) missing")
+    }
+  }
+
+  test("MG merge tree keeps the PODS'12 bound and the exact-regime exactness") {
+    val data = zipfStream
+    val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // 8 chunk sketches merged pairwise — the shape Spark's partial agg takes
+    val chunks = data.grouped(math.ceil(data.size / 8.0).toInt).toSeq.map { ch =>
+      val s = new Sketches.MgSketch(32); ch.foreach(s.update); s
+    }
+    val merged = chunks.reduce(_ merge _)
+    assert(merged.total === data.size)
+    assert(merged.maxError <= data.size / 33, "merged error must keep n/(capacity+1)")
+    truth.foreach { case (v, c) =>
+      val est = merged.estimate(v)
+      assert(est <= c && c <= est + merged.maxError)
+      if (c > merged.maxError) assert(est > 0)
+    }
+    // exact regime survives merging: big-capacity chunks never level
+    val exact = data.grouped(400).toSeq.map { ch =>
+      val s = new Sketches.MgSketch(512); ch.foreach(s.update); s
+    }.reduce(_ merge _)
+    assert(exact.maxError === 0L)
+    truth.foreach { case (v, c) => assert(exact.estimate(v) === c) }
+  }
+
+  test("MG serialization round-trip preserves counts, error, and mergeability") {
+    val s = new Sketches.MgSketch(32)
+    zipfStream.foreach(s.update)
+    val r = Sketches.MgSketch.fromBytes(s.toBytes)
+    assert(r.total === s.total && r.maxError === s.maxError)
+    assert(r.topK(32).toSeq === s.topK(32).toSeq)
+    val merged = Sketches.MgSketch.mergeAll(Seq(s.toBytes, s.toBytes))
+    assert(merged.total === 2 * s.total)
+  }
+
+  test("MG Spark udaf path: partial-merged across partitions, exact regime " +
+       "matches groupBy counts, null-safe") {
+    val df = (zipfStream :+ null.asInstanceOf[String] :+ null.asInstanceOf[String])
+      .toDF("v").repartition(7) // forces per-partition reduce + exchange merge
+    val bytes = df.agg(Sketches.mgSketch(600)($"v").as("s"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val s = Sketches.MgSketch.fromBytes(bytes)
+    assert(s.total === zipfStream.size, "nulls must be skipped")
+    assert(s.maxError === 0L)
+    val truth = df.where($"v".isNotNull).groupBy($"v").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (v, c) => assert(s.estimate(v) === c) }
+    // Profiler facade: deterministic (cnt desc, value asc) rows + error col
+    val hh = graft.stats.Profiler.heavyHitters(df, $"v", k = 3, capacity = 600)
+      .collect()
+    assert(hh.map(_.getString(0)).toSeq === Seq("item001", "item002", "item003"))
+    assert(hh.head.getLong(1) === 600L && hh.head.getLong(2) === 0L)
+  }
 }
