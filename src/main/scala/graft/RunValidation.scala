@@ -16,9 +16,12 @@ import graft.rules.BoundRule
  *                 [--gen <nDocs>] [--parts <n>] [--resume] [--master local[N]]
  *                 [--sketch]   // also persist per-partition KLL quantile
  *                              // sketches (span count per doc) + HLL
- *                              // distinct-count registers (doc_id) in the
- *                              // ledger for zero-scan cross-run drift checks;
- *                              // sketch inputs ride the rule-pass scan
+ *                              // distinct-count registers (doc_id) + MG
+ *                              // heavy-hitter summaries (first span kind)
+ *                              // in the ledger for zero-scan cross-run
+ *                              // drift checks (numeric / cardinality /
+ *                              // categorical); sketch inputs ride the
+ *                              // rule-pass scan
  *
  * With `--gen N` the deterministic fixture generator supplies the input
  * (FIXTURES.md F1/F2); otherwise point --docs/--assets at parquet tables with
@@ -66,6 +69,12 @@ object RunValidation {
       hllSketchExprs =
         if (args.contains("--sketch"))
           Map("doc_id" -> org.apache.spark.sql.functions.col("doc_id"))
+        else Map.empty,
+      mgSketchExprs =
+        if (args.contains("--sketch"))
+          Map("first_kind" -> org.apache.spark.sql.functions
+            .try_element_at(org.apache.spark.sql.functions.col("spans.kind"),
+              org.apache.spark.sql.functions.lit(1)))
         else Map.empty)
     val t0 = System.nanoTime()
     new ValidationRun(spark, cfg).runAndWrite(docs, assets, outDir, resume)

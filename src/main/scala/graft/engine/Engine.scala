@@ -110,6 +110,14 @@ case class EngineConfig(
       * A null value contributes one distinct value (xxhash64 seed), matching
       * the q26 convention; pre-filter the expr to exclude nulls. */
     hllSketchExprs: Map[String, org.apache.spark.sql.Column] = Map.empty,
+    /** String expressions whose VALUE DISTRIBUTION is summarized per
+      * partition into the ledger as Misra–Gries heavy-hitter summaries
+      * (name → column expr), mergeable cross-partition/cross-run by
+      * [[graft.stats.Drift.mergeLedgerMg]] — the categorical face of the
+      * ledger drift triad (KLL numeric / HLL cardinality / MG top-value
+      * mix), verdicts via
+      * [[graft.stats.Drift.ledgerCategoricalDrift]]. NULLs are skipped. */
+    mgSketchExprs: Map[String, org.apache.spark.sql.Column] = Map.empty,
     /** Aliased per-row expressions appended to the narrow rule-pass
       * projection and exposed via `ValidationRun.lastNarrow` — lets a caller
       * compute CONTENT outputs (dedup signatures, token stats, quality
@@ -296,7 +304,9 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
     config.sketchExprs.toSeq.sortBy(_._1).map { case (n, c) =>
       c.cast("double").as(s"__skv_$n") } ++
     config.hllSketchExprs.toSeq.sortBy(_._1).map { case (n, c) =>
-      xxhash64(c).as(s"__hll_$n") }
+      xxhash64(c).as(s"__hll_$n") } ++
+    config.mgSketchExprs.toSeq.sortBy(_._1).map { case (n, c) =>
+      c.cast("string").as(s"__mgv_$n") }
 
   /** Per-partition ledger sketch frame `(part, sketches, hll_sketches)`, or
     * None when no sketch exprs are configured. Aggregates over the persisted
@@ -305,17 +315,21 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
     * partitions when `persistAnnotations = false`. */
   private[graft] def ledgerSketchFrame(
       docs: DataFrame, inScopeParts: () => Seq[Int]): Option[DataFrame] = {
-    if (config.sketchExprs.isEmpty && config.hllSketchExprs.isEmpty) return None
+    if (config.sketchExprs.isEmpty && config.hllSketchExprs.isEmpty &&
+        config.mgSketchExprs.isEmpty) return None
     val kNames = config.sketchExprs.keys.toSeq.sorted
     val hNames = config.hllSketchExprs.keys.toSeq.sorted
+    val mNames = config.mgSketchExprs.keys.toSeq.sorted
     val base = lastNarrow.getOrElse {
       docs.where($"part".isin(inScopeParts(): _*))
         .select($"part".cast("int").as("part") +: sketchPassthroughCols: _*)
     }
     val kll = graft.stats.Sketches.kllSketch()
     val hll = graft.stats.Sketches.hllSketch()
+    val mg = graft.stats.Sketches.mgSketch()
     val aggs = kNames.map(n => kll(col(s"__skv_$n")).as(s"__sk_$n")) ++
-               hNames.map(n => hll(col(s"__hll_$n")).as(s"__hsk_$n"))
+               hNames.map(n => hll(col(s"__hll_$n")).as(s"__hsk_$n")) ++
+               mNames.map(n => mg(col(s"__mgv_$n")).as(s"__msk_$n"))
     val grouped = base.groupBy($"part").agg(aggs.head, aggs.tail: _*)
     val nullMap = lit(null).cast(
       org.apache.spark.sql.types.MapType(
@@ -325,7 +339,10 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
       else map(kNames.flatMap(n => Seq(lit(n), col(s"__sk_$n"))): _*)
     val hMap = if (hNames.isEmpty) nullMap
       else map(hNames.flatMap(n => Seq(lit(n), col(s"__hsk_$n"))): _*)
-    Some(grouped.select($"part", kMap.as("sketches"), hMap.as("hll_sketches")))
+    val mMap = if (mNames.isEmpty) nullMap
+      else map(mNames.flatMap(n => Seq(lit(n), col(s"__msk_$n"))): _*)
+    Some(grouped.select($"part", kMap.as("sketches"), hMap.as("hll_sketches"),
+      mMap.as("mg_sketches")))
   }
 
   /** Release every frame persisted by the last [[run]] (callers additionally
@@ -413,6 +430,7 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
         case Some(sk) => ledger.join(sk, Seq("part"), "left")
         case None => ledger.withColumn("sketches", nullMap)
                            .withColumn("hll_sketches", nullMap)
+                           .withColumn("mg_sketches", nullMap)
       }
       withSketches.write.mode(SaveMode.Append).parquet(lp)
     }

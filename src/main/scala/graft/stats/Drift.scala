@@ -206,14 +206,34 @@ object Drift {
   case class PsiReport(name: String, psi: Double, band: String,
                        drifted: Boolean)
 
+  private def psiBand(psi: Double): String =
+    if (psi < 0.1) "stable" else if (psi < 0.25) "moderate" else "major"
+
   /** PSI verdict with the conventional banding; `threshold` defaults to the
     * major-shift boundary. */
   def psiCheck(a: Sketches.KllSketch, b: Sketches.KllSketch, name: String,
                bins: Int = 16, threshold: Double = 0.25): PsiReport = {
     val psi = psiFromSketches(a, b, bins)
-    val band = if (psi < 0.1) "stable"
-               else if (psi < 0.25) "moderate" else "major"
-    PsiReport(name, psi, band, psi >= threshold)
+    PsiReport(name, psi, psiBand(psi), psi >= threshold)
+  }
+
+  /** CATEGORICAL drift: PSI over two Misra–Gries heavy-hitter summaries
+    * ([[Sketches.MgSketch]]) — the categorical face of the drift triad (KLL
+    * = numeric distribution, HLL = cardinality, MG = top-value mix).
+    * Proportions align on the union of tracked values plus one OTHER bucket
+    * holding each side's untracked remainder (total − Σ tracked counts). In
+    * the exact regime (no decrements — distinct ≤ capacity) this is exact
+    * category PSI; in the approximate regime each tracked proportion is
+    * biased down by at most maxError/total, far inside the 0.1 stable band
+    * for any reasonable capacity, so verdicts are unaffected. */
+  def psiCategorical(a: Sketches.MgSketch, b: Sketches.MgSketch, name: String,
+                     threshold: Double = 0.25): PsiReport = {
+    if (a.total == 0 || b.total == 0) return PsiReport(name, 0.0, "stable", false)
+    val keys = (a.counts.keySet ++ b.counts.keySet).toSeq.sorted
+    def hist(s: Sketches.MgSketch): Array[Long] =
+      (keys.map(s.estimate) :+ (s.total - s.counts.values.sum)).toArray
+    val psi = psiFromHistograms(hist(a), hist(b))
+    PsiReport(name, psi, psiBand(psi), psi >= threshold)
   }
 
   /** Cross-run PSI verdict from ledger sketches — zero data re-scan, same
@@ -307,6 +327,30 @@ object Drift {
     if (rows.isEmpty) None
     else Some(Sketches.mergeHllSketches(rows.toIndexedSeq))
   }
+
+  /** Merge a run's per-partition ledger Misra–Gries summaries for sketch
+    * `name` into one summary (see
+    * [[graft.engine.EngineConfig.mgSketchExprs]]); None on ledgers written
+    * before the `mg_sketches` column existed. Latest attempt per partition
+    * wins. */
+  def mergeLedgerMg(ledger: DataFrame, runId: String,
+                    name: String): Option[Sketches.MgSketch] = {
+    if (!ledger.columns.contains("mg_sketches")) return None
+    val rows = latestPerPart(ledger, runId, element_at(col("mg_sketches"), name))
+    if (rows.isEmpty) None
+    else Some(Sketches.MgSketch.mergeAll(rows.toIndexedSeq))
+  }
+
+  /** Cross-RUN categorical drift verdict (PSI over merged MG summaries) for
+    * sketch `name` between two runs in the same ledger — zero scans of the
+    * data, same contract as [[ledgerDrift]]/[[ledgerHllDrift]]. */
+  def ledgerCategoricalDrift(ledger: DataFrame, runA: String, runB: String,
+                             name: String,
+                             threshold: Double = 0.25): Option[PsiReport] =
+    for {
+      a <- mergeLedgerMg(ledger, runA, name)
+      b <- mergeLedgerMg(ledger, runB, name)
+    } yield psiCategorical(a, b, name, threshold)
 
   /** Cross-run distinct-count drift verdict for HLL sketch `name` between
     * two runs in the same ledger — the HLL analogue of [[ledgerDrift]], zero

@@ -207,13 +207,51 @@ class GoldenEngineSpec extends SparkSpec {
     new ValidationRun(spark, EngineConfig(rules = rowRules,
         ledgerDir = Some(dir), runId = "on",
         sketchExprs = Map("n_spans" -> size($"spans").cast("double")),
-        hllSketchExprs = Map("doc_id" -> $"doc_id")))
+        hllSketchExprs = Map("doc_id" -> $"doc_id"),
+        mgSketchExprs = Map("first_kind" -> try_element_at($"spans.kind", lit(1)))))
       .runAndWrite(docs, Some(assets), s"$dir/out2")
     val ledger = spark.read.parquet(s"$dir/ledger")
-    assert(ledger.columns.contains("sketches") && ledger.columns.contains("hll_sketches"))
-    // sketchless run: both maps null; sketched run: both populated
+    assert(ledger.columns.contains("sketches") && ledger.columns.contains("hll_sketches")
+      && ledger.columns.contains("mg_sketches"))
+    // sketchless run: all maps null; sketched run: all populated
     assert(ledger.where($"run_id" === "off" && $"sketches".isNotNull).count() === 0)
-    assert(ledger.where($"run_id" === "on" && ($"sketches".isNull || $"hll_sketches".isNull)).count() === 0)
+    assert(ledger.where($"run_id" === "on" && ($"sketches".isNull ||
+      $"hll_sketches".isNull || $"mg_sketches".isNull)).count() === 0)
+  }
+
+  test("MG ledger summaries: cross-run categorical drift with zero re-scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledger-m").toString
+    val pq = Fixtures.docsPq(spark, 3000, 4)
+    // the category under watch is a derived label; the "shifted" run remaps
+    // the label space (mass moves between categories on the SAME data, the
+    // way an upstream schema/extractor change looks to a monitor)
+    def runWith(id: String, expr: org.apache.spark.sql.Column): Unit =
+      new ValidationRun(spark, EngineConfig(rules = rowRules,
+        ledgerDir = Some(dir), runId = id,
+        mgSketchExprs = Map("bucket" -> expr)))
+        .runAndWrite(pq, Some(assets), s"$dir/out-$id")
+    // span counts are ~uniform on 1..6, so the base mix is small≈1/3 big≈2/3
+    // and the shifted cut flips it to ≈2/3 / 1/3 — PSI ≈ 0.46, a major shift
+    val lbl = when(size($"spans") <= 2, lit("small")).otherwise(lit("big"))
+    runWith("base", lbl)
+    runWith("same", lbl)
+    runWith("shifted", when(size($"spans") <= 4, lit("small")).otherwise(lit("big")))
+    val ledger = spark.read.parquet(s"$dir/ledger")
+    // per-partition summaries merge to the exact category counts (exact
+    // regime: 3 categories << default capacity)
+    val merged = graft.stats.Drift.mergeLedgerMg(ledger, "base", "bucket").get
+    assert(merged.maxError === 0L)
+    val exact = pq.groupBy(lbl.as("k")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) => assert(merged.estimate(k) === c) }
+    val quiet = graft.stats.Drift.ledgerCategoricalDrift(ledger, "base", "same", "bucket").get
+    val loud = graft.stats.Drift.ledgerCategoricalDrift(ledger, "base", "shifted", "bucket").get
+    assert(quiet.band === "stable" && !quiet.drifted, quiet.toString)
+    assert(loud.drifted, loud.toString)
+    assert(graft.stats.Drift.ledgerCategoricalDrift(ledger, "base", "missing", "bucket").isEmpty)
+    // a pre-mg ledger (no mg_sketches column) degrades to None, not a crash
+    assert(graft.stats.Drift.mergeLedgerMg(
+      ledger.drop("mg_sketches"), "base", "bucket").isEmpty)
   }
 
   test("HLL ledger sketches: per-partition registers merge to the exact distinct count") {

@@ -80,6 +80,30 @@ class StatsSpec extends SparkSpec {
     assert(Drift.psiFromHistograms(Array(10L, 0L, 30L), Array(20L, 0L, 60L)) < 1e-12)
   }
 
+  test("categorical PSI over MG summaries: quiet on same mix, major on a flip, " +
+       "untracked mass lands in the OTHER bucket") {
+    def mgOf(vs: Seq[String], capacity: Int = 64): Sketches.MgSketch = {
+      val s = new Sketches.MgSketch(capacity); vs.foreach(s.update); s
+    }
+    val base = Seq.fill(700)("big") ++ Seq.fill(300)("small")
+    val same = Seq.fill(1400)("big") ++ Seq.fill(600)("small") // scale-free
+    val flip = Seq.fill(300)("big") ++ Seq.fill(700)("small")
+    val quiet = Drift.psiCategorical(mgOf(base), mgOf(same), "c")
+    assert(quiet.band === "stable" && !quiet.drifted, quiet.toString)
+    val loud = Drift.psiCategorical(mgOf(base), mgOf(flip), "c")
+    assert(loud.band === "major" && loud.drifted, loud.toString)
+    // a category present on only one side still registers (smoothed, not NaN)
+    val extra = Drift.psiCategorical(mgOf(base), mgOf(base ++ Seq.fill(800)("new")), "c")
+    assert(extra.psi > 0 && !extra.psi.isNaN && extra.drifted, extra.toString)
+    // approximate regime: evicted mass is carried by the OTHER bucket, so
+    // two identical streams through tiny summaries still read stable
+    val wide = (0 until 50).flatMap(i => Seq.fill(50 - i)(f"v$i%02d"))
+    val tiny = Drift.psiCategorical(mgOf(wide, 8), mgOf(wide, 8), "c")
+    assert(tiny.band === "stable", tiny.toString)
+    // empty side → quiet by contract
+    assert(!Drift.psiCategorical(mgOf(Nil), mgOf(base), "c").drifted)
+  }
+
   test("mean-shift mirrors quality_report.py tolerance rule") {
     val r = Drift.meanShift(baseMean = 100.0, baseStd = 10.0, curMean = 104.0,
       column = "v", importance = 1.0)
