@@ -308,7 +308,7 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
     config.mgSketchExprs.toSeq.sortBy(_._1).map { case (n, c) =>
       c.cast("string").as(s"__mgv_$n") }
 
-  /** Per-partition ledger sketch frame `(part, sketches, hll_sketches)`, or
+  /** Per-partition ledger sketch frame `(part, sketches, hll_sketches, mg_sketches)`, or
     * None when no sketch exprs are configured. Aggregates over the persisted
     * narrow annotation when available (zero extra docs scans — plan-shape
     * guarded); falls back to one column-pruned scan of the in-scope
@@ -418,8 +418,9 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
       // annotation (the sketch inputs rode the rule-pass scan) — zero extra
       // scans of the docs table; merged across partitions/runs by
       // Drift.mergeLedgerSketches / Drift.mergeLedgerHll without re-scanning.
-      // Both map columns are ALWAYS present (null when unconfigured) so the
-      // ledger parquet schema is stable across runs with/without --sketch
+      // All THREE map columns (KLL / HLL / MG) are ALWAYS present (null when
+      // unconfigured) so the ledger parquet schema is stable across runs
+      // with/without --sketch
       // (ADVICE r3: a mixed-schema ledger dir breaks plain spark.read).
       val nullMap = lit(null).cast(
         org.apache.spark.sql.types.MapType(

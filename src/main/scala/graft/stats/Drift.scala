@@ -223,16 +223,39 @@ object Drift {
     * Proportions align on the union of tracked values plus one OTHER bucket
     * holding each side's untracked remainder (total − Σ tracked counts). In
     * the exact regime (no decrements — distinct ≤ capacity) this is exact
-    * category PSI; in the approximate regime each tracked proportion is
-    * biased down by at most maxError/total, far inside the 0.1 stable band
-    * for any reasonable capacity, so verdicts are unaffected. */
+    * category PSI.
+    *
+    * Approximate regime: estimates are under-counts by at most maxError
+    * each, and the OTHER bucket absorbs ALL retired mass (≤
+    * maxError·(capacity+1)) — both depend on the MERGE TREE, not the data
+    * (the same input summarized under different partition counts retires
+    * different amounts and can track different tail keys). Every PSI term
+    * is therefore counted only when its proportion gap exceeds the two
+    * sides' combined error bounds for that bucket (maxError/total per
+    * tracked key; (capacity+1)× that for OTHER): summary error can never
+    * fire a drift verdict on its own — identical data reads EXACTLY 0.0
+    * under any two merge trees — while mix shifts among true heavy hitters
+    * (the values an MG summary is FOR) sit far above the bounds and still
+    * fire. In the exact regime (maxError = 0) this is exact category PSI
+    * with no gating. */
   def psiCategorical(a: Sketches.MgSketch, b: Sketches.MgSketch, name: String,
                      threshold: Double = 0.25): PsiReport = {
     if (a.total == 0 || b.total == 0) return PsiReport(name, 0.0, "stable", false)
-    val keys = (a.counts.keySet ++ b.counts.keySet).toSeq.sorted
-    def hist(s: Sketches.MgSketch): Array[Long] =
-      (keys.map(s.estimate) :+ (s.total - s.counts.values.sum)).toArray
-    val psi = psiFromHistograms(hist(a), hist(b))
+    val smooth = 1e-4
+    val keyNoise = a.maxError.toDouble / a.total + b.maxError.toDouble / b.total
+    def term(p0: Double, q0: Double, noise: Double): Double = {
+      if (math.abs(p0 - q0) <= noise) return 0.0
+      val p = math.max(p0, smooth); val q = math.max(q0, smooth)
+      (p - q) * math.log(p / q)
+    }
+    var psi = 0.0
+    (a.counts.keySet ++ b.counts.keySet).foreach { k =>
+      psi += term(a.estimate(k).toDouble / a.total,
+                  b.estimate(k).toDouble / b.total, keyNoise)
+    }
+    val oa = (a.total - a.counts.values.sum).toDouble / a.total
+    val ob = (b.total - b.counts.values.sum).toDouble / b.total
+    psi += term(oa, ob, keyNoise * (math.max(a.capacity, b.capacity) + 1))
     PsiReport(name, psi, psiBand(psi), psi >= threshold)
   }
 
@@ -285,6 +308,17 @@ object Drift {
     cols.map(c => checkSketches(a(c), b(c), c, bins, alpha))
   }
 
+  /** Read an engine ledger directory the schema-evolution-safe way:
+    * `mergeSchema = true`. Ledger columns have been ADDED over time
+    * (`attempt_ts`, `rules_hash`, `mg_sketches`), so a long-lived ledger dir
+    * mixes parquet footers with different column sets; a plain
+    * `spark.read.parquet` resolves the schema from ONE arbitrary footer and
+    * can silently drop the newer columns — e.g. [[mergeLedgerMg]] returning
+    * None for a run that DID write summaries. Same read mode the engine
+    * itself uses for resume. */
+  def readLedger(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
   /** One sketch payload per partition of `runId`, reduced to the LATEST
     * attempt per partition: a partition re-validated after a rule edit has
     * several ledger rows, and only the newest describes the artifacts on
@@ -332,7 +366,9 @@ object Drift {
     * `name` into one summary (see
     * [[graft.engine.EngineConfig.mgSketchExprs]]); None on ledgers written
     * before the `mg_sketches` column existed. Latest attempt per partition
-    * wins. */
+    * wins. Load mixed-era ledger dirs with [[readLedger]] — a plain
+    * parquet read can resolve its schema from a pre-mg footer and silently
+    * hide the column. */
   def mergeLedgerMg(ledger: DataFrame, runId: String,
                     name: String): Option[Sketches.MgSketch] = {
     if (!ledger.columns.contains("mg_sketches")) return None

@@ -350,7 +350,14 @@ object Sketches {
       o.writeByte(1) // version
       o.writeInt(capacity); o.writeLong(total); o.writeLong(maxError)
       o.writeInt(counts.size)
-      counts.foreach { case (k, v) => o.writeUTF(k); o.writeLong(v) }
+      counts.foreach { case (k, v) =>
+        // length-prefixed UTF-8, NOT writeUTF: tracked values are arbitrary
+        // strings (any expr casts to string here) and writeUTF throws above
+        // 64 KB — a single giant space-free token would fail the whole run
+        // at finish() after all the compute is done
+        val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        o.writeInt(kb.length); o.write(kb); o.writeLong(v)
+      }
       o.flush(); bo.toByteArray
     }
   }
@@ -362,7 +369,11 @@ object Sketches {
       val s = new MgSketch(in.readInt())
       s.total = in.readLong(); s.maxError = in.readLong()
       val n = in.readInt()
-      (0 until n).foreach(_ => s.counts += (in.readUTF() -> in.readLong()))
+      (0 until n).foreach { _ =>
+        val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+        s.counts += (new String(kb, java.nio.charset.StandardCharsets.UTF_8) ->
+          in.readLong())
+      }
       s
     }
     /** Merge previously-exported summaries (ledger rows → one summary). */

@@ -254,6 +254,35 @@ class GoldenEngineSpec extends SparkSpec {
       ledger.drop("mg_sketches"), "base", "bucket").isEmpty)
   }
 
+  test("mixed-era ledger dir: readLedger (mergeSchema) still sees columns added over time") {
+    // ledger columns have been ADDED over rounds (attempt_ts, rules_hash,
+    // mg_sketches); a long-lived dir mixes footers with different column
+    // sets, and a PLAIN spark.read resolves its schema from one arbitrary
+    // footer — potentially hiding the newer columns and silently skipping
+    // drift checks that DID write summaries. Drift.readLedger is the
+    // schema-evolution-safe entry point (same mode as the engine's resume).
+    val work = java.nio.file.Files.createTempDirectory("graft-ledger-mx").toString
+    def ledgerOf(id: String, mg: Map[String, org.apache.spark.sql.Column]) = {
+      val d = s"$work/$id"
+      new ValidationRun(spark, EngineConfig(rules = rowRules,
+        ledgerDir = Some(d), runId = id, mgSketchExprs = mg))
+        .runAndWrite(docs, Some(assets), s"$d/out")
+      spark.read.parquet(s"$d/ledger")
+    }
+    val mixed = s"$work/mixed"
+    // era 1: files written before mg_sketches existed
+    ledgerOf("old", Map.empty).drop("mg_sketches").write.parquet(mixed)
+    // era 2: current schema, appended to the same dir
+    ledgerOf("new", Map("first_kind" -> try_element_at($"spans.kind", lit(1))))
+      .write.mode("append").parquet(mixed)
+    val led = graft.stats.Drift.readLedger(spark, mixed)
+    assert(led.columns.contains("mg_sketches"))
+    val merged = graft.stats.Drift.mergeLedgerMg(led, "new", "first_kind").get
+    assert(merged.total > 0 && merged.estimate("text") > 0)
+    // era-1 rows read as null summaries, not errors
+    assert(led.where($"run_id" === "old" && $"mg_sketches".isNotNull).count() === 0)
+  }
+
   test("HLL ledger sketches: per-partition registers merge to the exact distinct count") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ledger-h").toString
     val pq = Fixtures.docsPq(spark, 3000, 4)

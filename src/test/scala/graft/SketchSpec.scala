@@ -181,9 +181,15 @@ class SketchSpec extends SparkSpec {
   test("MG serialization round-trip preserves counts, error, and mergeability") {
     val s = new Sketches.MgSketch(32)
     zipfStream.foreach(s.update)
+    // a tracked value beyond writeUTF's 64 KB modified-UTF-8 limit must
+    // survive (any expr casts to string here — one giant space-free token
+    // would otherwise fail the whole run at finish())
+    val giant = "x" * 70000 + "—ü"
+    (0 until 700).foreach(_ => s.update(giant))
     val r = Sketches.MgSketch.fromBytes(s.toBytes)
     assert(r.total === s.total && r.maxError === s.maxError)
     assert(r.topK(32).toSeq === s.topK(32).toSeq)
+    assert(r.estimate(giant) === s.estimate(giant) && r.estimate(giant) > 0)
     val merged = Sketches.MgSketch.mergeAll(Seq(s.toBytes, s.toBytes))
     assert(merged.total === 2 * s.total)
   }

@@ -100,6 +100,26 @@ class StatsSpec extends SparkSpec {
     val wide = (0 until 50).flatMap(i => Seq.fill(50 - i)(f"v$i%02d"))
     val tiny = Drift.psiCategorical(mgOf(wide, 8), mgOf(wide, 8), "c")
     assert(tiny.band === "stable", tiny.toString)
+    // ... even when the two sides took DIFFERENT merge trees (one-pass vs
+    // chunked partial merges): retirement mass and the tracked tail-key set
+    // both differ between the trees, but every PSI term is gated on the
+    // summaries' combined error bounds, so a merge-tree artifact alone can
+    // never fire a verdict — identical data reads exactly 0.0
+    val chunked = wide.grouped(80).toSeq
+      .map { ch => val m = new Sketches.MgSketch(8); ch.foreach(m.update); m }
+      .reduce(_ merge _)
+    assert(chunked.maxError !== mgOf(wide, 8).maxError,
+      "fixture must actually produce differing retirement mass")
+    val trees = Drift.psiCategorical(mgOf(wide, 8), chunked, "c")
+    assert(trees.psi === 0.0 && trees.band === "stable", trees.toString)
+    // while a mix shift among TRUE heavy hitters (what an MG summary is for)
+    // through the same tiny summaries, long tail and all, still fires
+    val tail = (0 until 300).map(i => f"t$i%03d")
+    val heavy = Seq.fill(6000)("big") ++ Seq.fill(1500)("small") ++ tail
+    val heavyFlip = Seq.fill(1500)("big") ++ Seq.fill(6000)("small") ++ tail
+    val hv = Drift.psiCategorical(mgOf(heavy, 8), mgOf(heavyFlip, 8), "c")
+    assert(hv.drifted, hv.toString)
+    assert(!Drift.psiCategorical(mgOf(heavy, 8), mgOf(heavy, 8), "c").drifted)
     // empty side → quiet by contract
     assert(!Drift.psiCategorical(mgOf(Nil), mgOf(base), "c").drifted)
   }
