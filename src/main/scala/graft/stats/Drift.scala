@@ -418,6 +418,49 @@ object Drift {
       b <- mergeLedgerSketches(ledger, runB, name)
     } yield checkSketches(a, b, name, bins, alpha)
 
+  /** Sketch names a run recorded under one ledger map column. */
+  private def sketchNames(ledger: DataFrame, runId: String,
+                          column: String): Seq[String] = {
+    if (!ledger.columns.contains(column)) return Nil
+    ledger.where(col("run_id") === runId && col(column).isNotNull)
+      .select(explode(map_keys(col(column))).as("k"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Combined cross-run drift report over EVERY sketch both runs recorded —
+    * see [[ledgerDriftAll]]. */
+  case class LedgerDriftAll(numeric: Seq[DriftReport], psi: Seq[PsiReport],
+                            cardinality: Seq[HllDriftReport],
+                            categorical: Seq[PsiReport]) {
+    def drifted: Boolean =
+      numeric.exists(r => r.ksDrifted || r.chi2Drifted) ||
+      cardinality.exists(_.drifted) || categorical.exists(_.drifted)
+  }
+
+  /** One-call cross-run drift report: discovers the sketch names present in
+    * BOTH runs across the three ledger map columns and evaluates every
+    * verdict family — KS/χ² + PSI per numeric KLL sketch, relative-change
+    * per HLL cardinality sketch, error-gated categorical PSI per MG summary.
+    * The Spark analogue of the reference's per-column drift section in the
+    * quality report (`quality_report.py:113-136`), except it runs from the
+    * ledger alone: ZERO scans of either run's data. Pass a ledger loaded via
+    * [[readLedger]] so columns added over time are visible. */
+  def ledgerDriftAll(ledger: DataFrame, runA: String, runB: String,
+                     bins: Int = 16, alpha: Double = 1.358,
+                     hllTolerance: Double = 0.15,
+                     psiThreshold: Double = 0.25): LedgerDriftAll = {
+    def shared(c: String) =
+      sketchNames(ledger, runA, c).intersect(sketchNames(ledger, runB, c))
+    val kll = shared("sketches")
+    LedgerDriftAll(
+      kll.flatMap(n => ledgerDrift(ledger, runA, runB, n, bins, alpha)),
+      kll.flatMap(n => ledgerPsi(ledger, runA, runB, n, bins, psiThreshold)),
+      shared("hll_sketches")
+        .flatMap(n => ledgerHllDrift(ledger, runA, runB, n, hllTolerance)),
+      shared("mg_sketches")
+        .flatMap(n => ledgerCategoricalDrift(ledger, runA, runB, n, psiThreshold)))
+  }
+
   /** χ² drift over a categorical column: value-count join on the (small)
     * union of categories, statistic on the driver. */
   def checkCategorical(baseline: DataFrame, current: DataFrame, c: String): Chi2Result = {

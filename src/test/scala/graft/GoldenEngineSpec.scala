@@ -254,6 +254,35 @@ class GoldenEngineSpec extends SparkSpec {
       ledger.drop("mg_sketches"), "base", "bucket").isEmpty)
   }
 
+  test("ledgerDriftAll: one call discovers every recorded sketch and verdicts all families") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledger-all").toString
+    val pq = Fixtures.docsPq(spark, 3000, 4)
+    def runWith(id: String, scale: Int, cut: Int): Unit =
+      new ValidationRun(spark, EngineConfig(rules = rowRules,
+        ledgerDir = Some(dir), runId = id,
+        sketchExprs = Map("n_spans" -> (size($"spans") * scale).cast("double")),
+        hllSketchExprs = Map("doc_id" ->
+          when(size($"spans") >= scale - 1, $"doc_id")), // collapses under scale=10
+        mgSketchExprs = Map("bucket" ->
+          when(size($"spans") <= cut, lit("small")).otherwise(lit("big")))))
+        .runAndWrite(pq, Some(assets), s"$dir/out-$id")
+    runWith("base", 1, 2); runWith("same", 1, 2); runWith("shift", 10, 4)
+    val ledger = graft.stats.Drift.readLedger(spark, s"$dir/ledger")
+    val quiet = graft.stats.Drift.ledgerDriftAll(ledger, "base", "same")
+    assert(!quiet.drifted, quiet.toString)
+    assert(quiet.numeric.map(_.column) === Seq("n_spans") &&
+           quiet.psi.map(_.name) === Seq("n_spans") &&
+           quiet.cardinality.map(_.name) === Seq("doc_id") &&
+           quiet.categorical.map(_.name) === Seq("bucket"))
+    val loud = graft.stats.Drift.ledgerDriftAll(ledger, "base", "shift")
+    assert(loud.drifted)
+    assert(loud.numeric.exists(_.ksDrifted) && loud.cardinality.exists(_.drifted)
+      && loud.categorical.exists(_.drifted), loud.toString)
+    // a run absent from the ledger yields an empty (quiet) report, not a crash
+    val none = graft.stats.Drift.ledgerDriftAll(ledger, "base", "missing")
+    assert(!none.drifted && none.numeric.isEmpty && none.categorical.isEmpty)
+  }
+
   test("mixed-era ledger dir: readLedger (mergeSchema) still sees columns added over time") {
     // ledger columns have been ADDED over rounds (attempt_ts, rules_hash,
     // mg_sketches); a long-lived dir mixes footers with different column
