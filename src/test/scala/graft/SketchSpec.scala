@@ -211,5 +211,13 @@ class SketchSpec extends SparkSpec {
       .collect()
     assert(hh.map(_.getString(0)).toSeq === Seq("item001", "item002", "item003"))
     assert(hh.head.getLong(1) === 600L && hh.head.getLong(2) === 0L)
+    // plan shape: TWO-PHASE object hash aggregate — per-partition partial
+    // summaries combine map-side, the exchange moves O(capacity) state per
+    // partition, never the distinct domain (the reason this beats
+    // groupBy+orderBy+limit at 100 TB)
+    val plan = df.agg(Sketches.mgSketch(600)($"v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert("(?i)partial_mgsketchaggregator".r.findFirstIn(plan).nonEmpty, plan)
   }
 }
