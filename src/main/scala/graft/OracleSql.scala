@@ -50,12 +50,13 @@ object OracleSql {
     s"round($lenScore * 0.4 + $punctOk * 0.2 + $wordLenOk * 0.2 + $wsOk * 0.2, 4)"
   }
 
-  /** shingle list (k=3 word shingles of normalized text, matches Text.shingles). */
-  private def shingles3(e: String) = {
+  /** shingle list (k word shingles of normalized text, matches Text.shingles). */
+  private def shinglesK(e: String, k: Int) = {
     val tk = toks(norm(e))
-    s"(CASE WHEN len($tk) <= 3 THEN [array_to_string($tk, ' ')] " +
-    s"ELSE list_transform(generate_series(1, len($tk) - 2), i -> array_to_string(($tk)[i:i+2], ' ')) END)"
+    s"(CASE WHEN len($tk) <= $k THEN [array_to_string($tk, ' ')] " +
+    s"ELSE list_transform(generate_series(1, len($tk) - ${k - 1}), i -> array_to_string(($tk)[i:i+${k - 1}], ' ')) END)"
   }
+  private def shingles3(e: String) = shinglesK(e, 3)
 
   // Slot i hashes md5(shingle || '#' || i/2); even slots take hex chars 1-15,
   // odd slots chars 16-30 (two 60-bit hashes per digest — matches MinHashSig).
@@ -320,6 +321,14 @@ object OracleSql {
          |      FROM documents WHERE text IS NOT NULL)
          |WHERE tok <> ''
          |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 15""".stripMargin,
+
+    // intra-document repetition: duplicate-bigram fraction over the same
+    // k=2 word shingles as the Spark side (1 - distinct/total)
+    "q44_repetition" ->
+      s"""SELECT doc_id,
+         |  round(1.0 - CAST(len(list_distinct(${shinglesK("text", 2)})) AS DOUBLE)
+         |              / len(${shinglesK("text", 2)}), 4) AS rep_2gram
+         |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // transitive near-dup clusters: the q20 exact pair set closed under
     // connectivity (recursive CTE label reachability; cluster = min doc_id).

@@ -342,6 +342,15 @@ object SparkEntry {
         .select(col("value"), col("cnt"))
     }),
 
+    // intra-document repetition (Gopher-style duplicate-bigram quality
+    // filter): pure per-row projection, no shuffle — at 100 TB a repetition
+    // threshold composes into the scan-side filter of any pipeline
+    "q44_repetition" -> ((s, dir) => {
+      read(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          round(Text.repetitionRatio(col("text"), 2), 4).as("rep_2gram"))
+    }),
+
     // ------------------------------------------------------ similarity search
     // brute-force cosine top-1 for the first 10 vectors
     "q19_cosine_top1" -> ((s, dir) => {

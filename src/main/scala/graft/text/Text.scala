@@ -111,4 +111,15 @@ object Text {
       .otherwise(transform(sequence(lit(0), n - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
+
+  /** Intra-document repetition ratio — the Gopher-style repetition quality
+    * filter (Rae et al. 2021 §A1.1: "fraction of duplicate n-grams"):
+    * 1 − distinct/total over word k-grams of normalized text. 0.0 for docs
+    * of ≤ k words (single shingle); boilerplate/looping generations score
+    * high. Pure per-row projection — composes with any filter threshold
+    * without a shuffle. */
+  def repetitionRatio(c: Column, k: Int = 2): Column = {
+    val sh = shingles(c, k)
+    lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh)
+  }
 }

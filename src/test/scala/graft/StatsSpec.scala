@@ -124,6 +124,19 @@ class StatsSpec extends SparkSpec {
     assert(!Drift.psiCategorical(mgOf(Nil), mgOf(base), "c").drifted)
   }
 
+  test("repetition ratio: duplicate-bigram fraction, normalization-aware, 0 for short docs") {
+    val df = Seq(
+      ("loop", "a b a b a"),      // bigrams ab,ba,ab,ba → 2/4 duplicated
+      ("clean", "the cat sat"),   // 2 distinct bigrams of 2
+      ("short", "x"),             // ≤ k words → single shingle
+      ("norm", "A  a\ta")         // normalizes to "a a a" → rep 0.5
+    ).toDF("id", "text")
+    val got = df.select($"id",
+        round(graft.text.Text.repetitionRatio($"text", 2), 4).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("loop" -> 0.5, "clean" -> 0.0, "short" -> 0.0, "norm" -> 0.5))
+  }
+
   test("mean-shift mirrors quality_report.py tolerance rule") {
     val r = Drift.meanShift(baseMean = 100.0, baseStd = 10.0, curMean = 104.0,
       column = "v", importance = 1.0)
