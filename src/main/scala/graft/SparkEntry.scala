@@ -348,7 +348,7 @@ object SparkEntry {
     "q44_repetition" -> ((s, dir) => {
       read(s, dir, "documents").where(col("text").isNotNull)
         .select(col("doc_id"),
-          round(Text.repetitionRatio(col("text"), 2), 4).as("rep_2gram"))
+          round(graft.functions.F.repetitionRatio(col("text"), 2), 4).as("rep_2gram"))
     }),
 
     // ------------------------------------------------------ similarity search

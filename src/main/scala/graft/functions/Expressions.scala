@@ -585,6 +585,42 @@ case class WordShingles(child: Expression, k: Int, distinct: Boolean)
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
+/** Intra-document duplicate-k-gram fraction (1 − distinct/total over word
+  * k-shingles of normalized text; ≤ k words → 0.0) in ONE pass with no
+  * array materialization — tight-loop twin of
+  * [[graft.text.Text.repetitionRatio]], whose interpreted HOF tree (two
+  * shingle evaluations + array_distinct) measured 6.1 s on the sf0.1 query
+  * sweep vs 0.2 s for the comparable TokenStats scan. */
+case class RepetitionRatio(child: Expression, k: Int)
+    extends UnaryExpression with DirectEvalCodegen {
+  override protected def resultJavaType: String = "double"
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = {
+    val u = v.asInstanceOf[UTF8String]
+    val sc = TextScratch.tl.get()
+    if (!sc.lowerAndTokenize(u)) return evalSlow(u.toString)
+    val nt = sc.nToks
+    if (nt <= k) return 0.0 // single shingle
+    val nSh = nt - k + 1
+    val seen = new java.util.HashSet[UTF8String](nSh * 2)
+    var si = 0
+    while (si < nSh) {
+      val w = sc.buildShingle(si, k)
+      seen.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(sc.shingle, 0, w)))
+      si += 1
+    }
+    1.0 - seen.size.toDouble / nSh
+  }
+  /** Exact Unicode path for non-ASCII input. */
+  private def evalSlow(s0: String): Any = {
+    val toks = Hashing.tokenize(s0.toLowerCase)
+    if (toks.length <= k) return 0.0
+    val sh = Array.tabulate(toks.length - k + 1)(i => toks.slice(i, i + k).mkString(" "))
+    1.0 - sh.distinct.length.toDouble / sh.length
+  }
+  override protected def withNewChildInternal(c: Expression): RepetitionRatio = copy(child = c)
+}
+
 /** Interleaved-doc text extraction in ONE pass: the text fields of all spans
   * joined by single spaces — identical to
   * `concat_ws(" ", transform(filter(spans, s -> s.text IS NOT NULL), s -> s.text))`,
@@ -656,4 +692,6 @@ object F {
   def dot(a: Column, b: Column): Column = column(DotProduct(e(a), e(b)))
   def wordShingles(c: Column, k: Int, distinct: Boolean = false): Column =
     column(WordShingles(e(c), k, distinct))
+  def repetitionRatio(c: Column, k: Int = 2): Column =
+    column(RepetitionRatio(e(c), k))
 }

@@ -135,6 +135,15 @@ class StatsSpec extends SparkSpec {
         round(graft.text.Text.repetitionRatio($"text", 2), 4).as("r"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got === Map("loop" -> 0.5, "clean" -> 0.0, "short" -> 0.0, "norm" -> 0.5))
+    // the tight-loop expression (q44's path) agrees with the HOF reference
+    // on every case, including a non-ASCII doc through the exact slow path
+    val df2 = df.union(Seq(("uni", "ü ü ü wé wé")).toDF("id", "text"))
+    val both = df2.select($"id",
+        round(graft.functions.F.repetitionRatio($"text", 2), 4).as("fast"),
+        round(graft.text.Text.repetitionRatio($"text", 2), 4).as("ref"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(1) === r.getDouble(2), r.toString))
+    assert(both.count(_.getString(0) == "uni") === 1)
   }
 
   test("mean-shift mirrors quality_report.py tolerance rule") {
