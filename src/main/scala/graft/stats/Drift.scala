@@ -226,18 +226,19 @@ object Drift {
     * category PSI.
     *
     * Approximate regime: estimates are under-counts by at most maxError
-    * each, and the OTHER bucket absorbs ALL retired mass (≤
-    * maxError·(capacity+1)) — both depend on the MERGE TREE, not the data
-    * (the same input summarized under different partition counts retires
-    * different amounts and can track different tail keys). Every PSI term
-    * is therefore counted only when its proportion gap exceeds the two
-    * sides' combined error bounds for that bucket (maxError/total per
-    * tracked key; (capacity+1)× that for OTHER): summary error can never
-    * fire a drift verdict on its own — identical data reads EXACTLY 0.0
-    * under any two merge trees — while mix shifts among true heavy hitters
-    * (the values an MG summary is FOR) sit far above the bounds and still
-    * fire. In the exact regime (maxError = 0) this is exact category PSI
-    * with no gating. */
+    * each, and the OTHER bucket absorbs ALL retired mass — both depend on
+    * the MERGE TREE, not the data (the same input summarized under
+    * different partition counts retires different amounts and can track
+    * different tail keys). Every PSI term is therefore counted only when
+    * its proportion gap exceeds the two sides' combined error bounds for
+    * that bucket (maxError/total per tracked key — the PODS'12 per-item
+    * bound; the EXACT tracked `retired` mass over total for OTHER — no
+    * closed form in maxError bounds it, see [[Sketches.MgSketch.retired]]):
+    * summary error can never fire a drift verdict on its own — identical
+    * data reads EXACTLY 0.0 under any two merge trees — while mix shifts
+    * among true heavy hitters (the values an MG summary is FOR) sit far
+    * above the bounds and still fire. In the exact regime this is exact
+    * category PSI with no gating. */
   def psiCategorical(a: Sketches.MgSketch, b: Sketches.MgSketch, name: String,
                      threshold: Double = 0.25): PsiReport = {
     if (a.total == 0 || b.total == 0) return PsiReport(name, 0.0, "stable", false)
@@ -255,7 +256,8 @@ object Drift {
     }
     val oa = (a.total - a.counts.values.sum).toDouble / a.total
     val ob = (b.total - b.counts.values.sum).toDouble / b.total
-    psi += term(oa, ob, keyNoise * (math.max(a.capacity, b.capacity) + 1))
+    psi += term(oa, ob,
+      a.retired.toDouble / a.total + b.retired.toDouble / b.total)
     PsiReport(name, psi, psiBand(psi), psi >= threshold)
   }
 
@@ -434,6 +436,7 @@ object Drift {
                             categorical: Seq[PsiReport]) {
     def drifted: Boolean =
       numeric.exists(r => r.ksDrifted || r.chi2Drifted) ||
+      psi.exists(_.drifted) ||
       cardinality.exists(_.drifted) || categorical.exists(_.drifted)
   }
 
@@ -451,10 +454,17 @@ object Drift {
                      psiThreshold: Double = 0.25): LedgerDriftAll = {
     def shared(c: String) =
       sketchNames(ledger, runA, c).intersect(sketchNames(ledger, runB, c))
-    val kll = shared("sketches")
+    // merge each (run, name) KLL sketch ONCE; both the KS/χ² and the PSI
+    // verdicts fold the same merged pair on the driver
+    val kllPairs = shared("sketches").flatMap { n =>
+      for {
+        a <- mergeLedgerSketches(ledger, runA, n)
+        b <- mergeLedgerSketches(ledger, runB, n)
+      } yield (n, a, b)
+    }
     LedgerDriftAll(
-      kll.flatMap(n => ledgerDrift(ledger, runA, runB, n, bins, alpha)),
-      kll.flatMap(n => ledgerPsi(ledger, runA, runB, n, bins, psiThreshold)),
+      kllPairs.map { case (n, a, b) => checkSketches(a, b, n, bins, alpha) },
+      kllPairs.map { case (n, a, b) => psiCheck(a, b, n, bins, psiThreshold) },
       shared("hll_sketches")
         .flatMap(n => ledgerHllDrift(ledger, runA, runB, n, hllTolerance)),
       shared("mg_sketches")

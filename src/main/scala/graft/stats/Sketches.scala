@@ -301,10 +301,18 @@ object Sketches {
   final class MgSketch(val capacity: Int) extends Serializable {
     import scala.collection.mutable
     private[stats] val counts = mutable.HashMap.empty[String, Long]
-    /** Cumulative per-item decrement — the additive error bound. */
+    /** Cumulative decrement depth — the additive PER-ITEM error bound
+      * (est(x) ≤ true(x) ≤ est(x) + maxError for every x). */
     var maxError: Long = 0L
     /** Items seen (n), including nulls' exclusion upstream. */
     var total: Long = 0L
+    /** EXACT total count mass retired by decrements/levelling — the bound
+      * on the SUM of under-counts (total − Σ counts == true untracked mass
+      * + retired). Tracked exactly because a merge-levelling step retires up
+      * to ~2·capacity·level while adding only `level` to [[maxError]], so no
+      * clean closed form in maxError exists; [[Drift.psiCategorical]] gates
+      * its OTHER bucket on this. */
+    var retired: Long = 0L
 
     def update(x: String): Unit = {
       total += 1
@@ -315,6 +323,7 @@ object Sketches {
           // classic MG decrement-all step: O(capacity), amortized O(1)/item
           // (each step retires capacity+1 units of arrival mass)
           maxError += 1
+          retired += counts.size + 1 // every counter loses 1 + the arrival
           counts.filterInPlace((_, c) => c > 1)
           counts.mapValuesInPlace((_, c) => c - 1)
       }
@@ -327,9 +336,11 @@ object Sketches {
         counts.updateWith(k) { c => Some(c.getOrElse(0L) + v) } }
       total += o.total
       maxError += o.maxError
+      retired += o.retired
       if (counts.size > capacity) {
         val level = counts.values.toArray.sorted(Ordering[Long].reverse)(capacity)
         maxError += level
+        counts.foreach { case (_, c) => retired += math.min(c, level) }
         counts.filterInPlace((_, c) => c > level)
         counts.mapValuesInPlace((_, c) => c - level)
       }
@@ -339,6 +350,11 @@ object Sketches {
     /** Estimated count (lower bound; 0 when absent). */
     def estimate(x: String): Long = counts.getOrElse(x, 0L)
 
+    /** Σ tracked counter mass; `total == trackedMass + retired` always
+      * (mass conservation — every arrival either sits in a counter or was
+      * retired by a decrement/levelling step). */
+    def trackedMass: Long = counts.values.sum
+
     /** Counters sorted by (count desc, value asc) — deterministic like
       * [[graft.stats.Profiler.topK]]. */
     def topK(k: Int): Array[(String, Long)] =
@@ -347,8 +363,9 @@ object Sketches {
     def toBytes: Array[Byte] = {
       val bo = new java.io.ByteArrayOutputStream()
       val o = new java.io.DataOutputStream(bo)
-      o.writeByte(1) // version
+      o.writeByte(2) // v2: length-prefixed UTF-8 keys + exact retired mass
       o.writeInt(capacity); o.writeLong(total); o.writeLong(maxError)
+      o.writeLong(retired)
       o.writeInt(counts.size)
       counts.foreach { case (k, v) =>
         // length-prefixed UTF-8, NOT writeUTF: tracked values are arbitrary
@@ -365,15 +382,26 @@ object Sketches {
   object MgSketch {
     def fromBytes(bytes: Array[Byte]): MgSketch = {
       val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
-      require(in.readByte() == 1, "unknown MG sketch version")
+      val version = in.readByte()
+      require(version == 1 || version == 2, s"unknown MG sketch version $version")
       val s = new MgSketch(in.readInt())
       s.total = in.readLong(); s.maxError = in.readLong()
+      if (version >= 2) s.retired = in.readLong()
       val n = in.readInt()
       (0 until n).foreach { _ =>
-        val kb = new Array[Byte](in.readInt()); in.readFully(kb)
-        s.counts += (new String(kb, java.nio.charset.StandardCharsets.UTF_8) ->
-          in.readLong())
+        val k =
+          if (version == 1) in.readUTF() // v1 wrote writeUTF keys
+          else {
+            val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+            new String(kb, java.nio.charset.StandardCharsets.UTF_8)
+          }
+        s.counts += (k -> in.readLong())
       }
+      // v1 rows carry no retired-mass record: reconstruct the conservative
+      // upper bound so OTHER-bucket gating stays safe on pre-v2 ledgers
+      if (version == 1)
+        s.retired = math.min(s.maxError * (s.capacity.toLong * 2 + 1),
+          math.max(s.total - s.counts.values.sum, 0L))
       s
     }
     /** Merge previously-exported summaries (ledger rows → one summary). */

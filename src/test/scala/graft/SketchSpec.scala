@@ -188,10 +188,42 @@ class SketchSpec extends SparkSpec {
     (0 until 700).foreach(_ => s.update(giant))
     val r = Sketches.MgSketch.fromBytes(s.toBytes)
     assert(r.total === s.total && r.maxError === s.maxError)
+    assert(r.retired === s.retired)
     assert(r.topK(32).toSeq === s.topK(32).toSeq)
     assert(r.estimate(giant) === s.estimate(giant) && r.estimate(giant) > 0)
     val merged = Sketches.MgSketch.mergeAll(Seq(s.toBytes, s.toBytes))
     assert(merged.total === 2 * s.total)
+    // version-1 payloads (writeUTF keys, no retired field) still decode: the
+    // wire format was bumped to 2, not silently changed under the same byte
+    val bo = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bo)
+    o.writeByte(1); o.writeInt(32); o.writeLong(100L); o.writeLong(2L)
+    o.writeInt(2); o.writeUTF("text"); o.writeLong(60L)
+    o.writeUTF("ü-key"); o.writeLong(30L); o.flush()
+    val v1 = Sketches.MgSketch.fromBytes(bo.toByteArray)
+    assert(v1.total === 100L && v1.maxError === 2L)
+    assert(v1.estimate("text") === 60L && v1.estimate("ü-key") === 30L)
+    // reconstructed retired bound is conservative: at least the observed
+    // untracked mass, never above total
+    assert(v1.retired >= 100L - 90L && v1.retired <= 100L)
+  }
+
+  test("MG mass conservation: total == tracked + retired under any merge tree") {
+    val data = zipfStream
+    def conserve(s: Sketches.MgSketch): Unit =
+      assert(s.total === s.trackedMass + s.retired,
+        s"total=${s.total} tracked=${s.trackedMass} retired=${s.retired}")
+    val onePass = new Sketches.MgSketch(8); data.foreach(onePass.update)
+    conserve(onePass)
+    val chunked = data.grouped(77).toSeq.map { ch =>
+      val m = new Sketches.MgSketch(8); ch.foreach(m.update); conserve(m); m
+    }.reduce(_ merge _)
+    conserve(chunked)
+    assert(chunked.retired !== onePass.retired,
+      "fixture must produce merge-tree-dependent retirement")
+    // exact regime retires nothing
+    val exact = new Sketches.MgSketch(1024); data.foreach(exact.update)
+    assert(exact.retired === 0L); conserve(exact)
   }
 
   test("MG Spark udaf path: partial-merged across partitions, exact regime " +

@@ -124,6 +124,15 @@ class StatsSpec extends SparkSpec {
     assert(!Drift.psiCategorical(mgOf(Nil), mgOf(base), "c").drifted)
   }
 
+  test("LedgerDriftAll.drifted fires on EVERY family, including a PSI-only verdict") {
+    val fired = Drift.PsiReport("v", 0.3, "major", drifted = true)
+    val ksQuiet = Drift.DriftReport("v", 0.01, 0.2, ksDrifted = false,
+      0.0, 10, chi2Drifted = false)
+    assert(Drift.LedgerDriftAll(Seq(ksQuiet), Seq(fired), Nil, Nil).drifted)
+    assert(Drift.LedgerDriftAll(Nil, Nil, Nil, Seq(fired)).drifted)
+    assert(!Drift.LedgerDriftAll(Seq(ksQuiet), Nil, Nil, Nil).drifted)
+  }
+
   test("repetition ratio: duplicate-bigram fraction, normalization-aware, 0 for short docs") {
     val df = Seq(
       ("loop", "a b a b a"),      // bigrams ab,ba,ab,ba → 2/4 duplicated
