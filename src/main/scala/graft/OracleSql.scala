@@ -330,6 +330,19 @@ object OracleSql {
          |              / len(${shinglesK("text", 2)}), 4) AS rep_2gram
          |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
+    // decontamination: winnowed fingerprints (min of each w-window of
+    // portable k-gram hashes, distinct) joined corpus × eval-subset
+    "q45_decontamination" -> {
+      val h = s"list_transform(${shinglesK("text", 5)}, s -> ${hx("s")})"
+      val winnow = s"list_distinct(CASE WHEN len($h) <= 4 THEN [list_min($h)] " +
+        s"ELSE list_transform(generate_series(1, len($h) - 3), i -> list_min(($h)[i:i+3])) END)"
+      s"""WITH f AS (SELECT doc_id, unnest($winnow) AS fp FROM documents
+         |           WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+         |e AS (SELECT doc_id AS eval_id, fp FROM f WHERE doc_id % 7 = 0)
+         |SELECT DISTINCT f.doc_id, e.eval_id
+         |FROM f JOIN e USING (fp) WHERE f.doc_id <> e.eval_id""".stripMargin
+    },
+
     // transitive near-dup clusters: the q20 exact pair set closed under
     // connectivity (recursive CTE label reachability; cluster = min doc_id).
     // Mirrors Components.connectedComponents over ngramJaccardPairs.

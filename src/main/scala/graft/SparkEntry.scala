@@ -351,6 +351,23 @@ object SparkEntry {
           round(graft.functions.F.repetitionRatio(col("text"), 2), 4).as("rep_2gram"))
     }),
 
+    // benchmark decontamination via winnowed fingerprints: corpus docs
+    // sharing a token run of >= k+w-1 with any "eval set" doc (here: doc_id
+    // % 7 == 0). The eval side of the join is definitionally small →
+    // broadcast; the corpus side is one projection + explode, so at 100 TB
+    // this is a single scan with a map-side hash probe, no shuffle
+    "q45_decontamination" -> ((s, dir) => {
+      val fps = read(s, dir, "documents")
+        .where(col("text").isNotNull && col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          explode(Text.winnowedFingerprints(col("text"), 5, 4)).as("fp"))
+      val evalSet = fps.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("eval_id"), col("fp"))
+      fps.join(broadcast(evalSet), Seq("fp"))
+        .where(col("doc_id") =!= col("eval_id"))
+        .select(col("doc_id"), col("eval_id")).distinct()
+    }),
+
     // ------------------------------------------------------ similarity search
     // brute-force cosine top-1 for the first 10 vectors
     "q19_cosine_top1" -> ((s, dir) => {

@@ -112,6 +112,24 @@ object Text {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
+  /** Winnowed k-gram fingerprints (Schleimer–Wilkerson–Aiken winnowing,
+    * SIGMOD 2003): portable hashes of the word k-shingles, reduced to the
+    * MINIMUM hash of each window of `w` consecutive k-gram hashes, distinct.
+    * Guarantee: two documents sharing any token run of length ≥ k + w − 1
+    * share at least one fingerprint — the SUBSTRING-overlap primitive that
+    * whole-doc fingerprints and set-similarity dedup can't express, and the
+    * standard benchmark-decontamination tool for training corpora. Density
+    * ≈ 2/(w+1) of the k-gram count, so the fingerprint explode stays small.
+    * Docs shorter than k words fingerprint their whole normalized text. */
+  def winnowedFingerprints(c: Column, k: Int = 5, w: Int = 4): Column = {
+    val hashes = transform(shingles(c, k), s => portableHash(s))
+    val n = size(hashes)
+    val mins = when(n <= w, array(array_min(hashes)))
+      .otherwise(transform(sequence(lit(0), n - w),
+        i => array_min(slice(hashes, i + 1, lit(w)))))
+    array_distinct(mins)
+  }
+
   /** Intra-document repetition ratio — the Gopher-style repetition quality
     * filter (Rae et al. 2021 §A1.1: "fraction of duplicate n-grams"):
     * 1 − distinct/total over word k-grams of normalized text. 0.0 for docs

@@ -124,6 +124,28 @@ class StatsSpec extends SparkSpec {
     assert(!Drift.psiCategorical(mgOf(Nil), mgOf(base), "c").drifted)
   }
 
+  test("winnowing: shared run >= k+w-1 guarantees a shared fingerprint; " +
+       "disjoint docs share none; short docs get one") {
+    import graft.text.Text
+    val (k, w) = (3, 2)
+    val run = "alpha beta gamma delta epsilon" // 5 tokens >= k+w-1 = 4
+    val df = Seq(
+      ("a", s"one two $run three"),
+      ("b", s"nine eight seven $run"),
+      ("c", "totally different words here entirely unrelated content"),
+      ("s", "tiny")).toDF("id", "text")
+    val fps = df.select($"id", Text.winnowedFingerprints($"text", k, w).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps("a") intersect fps("b")).nonEmpty, "containment guarantee")
+    assert((fps("a") intersect fps("c")).isEmpty)
+    assert(fps("s").size === 1, "short doc -> whole-text fingerprint")
+    // density: far fewer fingerprints than k-grams, never zero
+    val big = ("big", (1 to 200).map(i => s"tok${i % 40}").mkString(" "))
+    val nf = Seq(big).toDF("id", "text")
+      .select(size(Text.winnowedFingerprints($"text", 5, 4))).as[Int].collect()(0)
+    assert(nf > 0 && nf < 200 - 5 + 1)
+  }
+
   test("LedgerDriftAll.drifted fires on EVERY family, including a PSI-only verdict") {
     val fired = Drift.PsiReport("v", 0.3, "major", drifted = true)
     val ksQuiet = Drift.DriftReport("v", 0.01, 0.2, ksDrifted = false,
