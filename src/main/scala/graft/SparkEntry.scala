@@ -357,11 +357,14 @@ object SparkEntry {
     // broadcast; the corpus side is one projection + explode, so at 100 TB
     // this is a single scan with a map-side hash probe, no shuffle
     "q45_decontamination" -> ((s, dir) => {
-      val fps = read(s, dir, "documents")
+      val docs = read(s, dir, "documents")
         .where(col("text").isNotNull && col("doc_id").isNotNull)
-        .select(col("doc_id"),
-          explode(Text.winnowedFingerprints(col("text"), 5, 4)).as("fp"))
-      val evalSet = fps.where(col("doc_id") % 7 === 0)
+      def fprints(df: DataFrame) = df.select(col("doc_id"),
+        explode(graft.functions.F.winnowFingerprints(col("text"), 5, 4)).as("fp"))
+      val fps = fprints(docs)
+      // fingerprint ONLY the eval subset for the broadcast build side —
+      // never re-fingerprint the whole corpus to derive the small side
+      val evalSet = fprints(docs.where(col("doc_id") % 7 === 0))
         .select(col("doc_id").as("eval_id"), col("fp"))
       fps.join(broadcast(evalSet), Seq("fp"))
         .where(col("doc_id") =!= col("eval_id"))

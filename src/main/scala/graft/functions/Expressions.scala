@@ -585,6 +585,63 @@ case class WordShingles(child: Expression, k: Int, distinct: Boolean)
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
+/** Winnowed k-gram fingerprints — tight-loop twin of
+  * [[graft.text.Text.winnowedFingerprints]] (portable md5-60 per word
+  * k-shingle of normalized text, min of each w-window, distinct in
+  * first-seen order). One tokenizer pass, one md5 per shingle, no array
+  * HOFs: the HOF twin measured 8 s/5 000 docs even after its lambda-binding
+  * fix (interpreted slice+min per window). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with DirectEvalCodegen {
+  override protected def resultJavaType: String = "org.apache.spark.sql.catalyst.util.ArrayData"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val u = v.asInstanceOf[UTF8String]
+    val sc = TextScratch.tl.get()
+    if (!sc.lowerAndTokenize(u)) return evalSlow(u.toString)
+    val nt = sc.nToks
+    val nSh = if (nt <= k) 1 else nt - k + 1
+    val hs = new Array[Long](nSh)
+    var si = 0
+    while (si < nSh) {
+      val len = sc.buildShingle(si, if (nt <= k) nt else k)
+      Hashing.md5Into(sc.shingle, 0, len, sc.out16)
+      hs(si) = Hashing.pack60a(sc.out16)
+      si += 1
+    }
+    winnow(hs)
+  }
+  /** Min of each w-window (one window when fewer hashes than w), distinct
+    * in first-seen order — the exact HOF-twin semantics. */
+  private def winnow(hs: Array[Long]): Any = {
+    val nW = math.max(hs.length - w + 1, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < nW) {
+      var m = Long.MaxValue
+      var j = i
+      val end = math.min(i + w, hs.length)
+      while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator(); var x = 0
+    while (it.hasNext) { out(x) = it.next().longValue(); x += 1 }
+    new GenericArrayData(out)
+  }
+  /** Exact Unicode path for non-ASCII input. */
+  private def evalSlow(s0: String): Any = {
+    val toks = Hashing.tokenize(s0.toLowerCase)
+    val sh: Array[String] =
+      if (toks.length <= k) Array(toks.mkString(" "))
+      else Array.tabulate(toks.length - k + 1)(i =>
+        toks.slice(i, i + k).mkString(" "))
+    winnow(sh.map(s => Hashing.md5_60(s.getBytes("UTF-8"))))
+  }
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints = copy(child = c)
+}
+
 /** Intra-document duplicate-k-gram fraction (1 − distinct/total over word
   * k-shingles of normalized text; ≤ k words → 0.0) in ONE pass with no
   * array materialization — tight-loop twin of
@@ -694,4 +751,6 @@ object F {
     column(WordShingles(e(c), k, distinct))
   def repetitionRatio(c: Column, k: Int = 2): Column =
     column(RepetitionRatio(e(c), k))
+  def winnowFingerprints(c: Column, k: Int = 5, w: Int = 4): Column =
+    column(WinnowFingerprints(e(c), k, w))
 }

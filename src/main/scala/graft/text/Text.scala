@@ -120,14 +120,23 @@ object Text {
     * whole-doc fingerprints and set-similarity dedup can't express, and the
     * standard benchmark-decontamination tool for training corpora. Density
     * ≈ 2/(w+1) of the k-gram count, so the fingerprint explode stays small.
-    * Docs shorter than k words fingerprint their whole normalized text. */
+    * Docs shorter than k words fingerprint their whole normalized text.
+    *
+    * The k-gram hash array is BOUND ONCE as a lambda variable (the
+    * single-element `transform(array(...))` wrap): a lambda body that
+    * references a raw subtree re-evaluates it per element, so the naive
+    * form recomputes ALL k-gram hashes for every window — measured 461 s
+    * vs 8 s for the whole sf0.1 corpus. Shingle construction uses the
+    * byte-path [[graft.functions.F.wordShingles]] twin. */
   def winnowedFingerprints(c: Column, k: Int = 5, w: Int = 4): Column = {
-    val hashes = transform(shingles(c, k), s => portableHash(s))
-    val n = size(hashes)
-    val mins = when(n <= w, array(array_min(hashes)))
-      .otherwise(transform(sequence(lit(0), n - w),
-        i => array_min(slice(hashes, i + 1, lit(w)))))
-    array_distinct(mins)
+    val hashes = transform(graft.functions.F.wordShingles(c, k),
+      s => portableHash(s))
+    val perWindowMins = transform(array(hashes), h =>
+      array_distinct(
+        when(size(h) <= w, array(array_min(h)))
+          .otherwise(transform(sequence(lit(0), size(h) - w),
+            i => array_min(slice(h, i + 1, lit(w)))))))
+    try_element_at(perWindowMins, lit(1))
   }
 
   /** Intra-document repetition ratio — the Gopher-style repetition quality

@@ -144,6 +144,14 @@ class StatsSpec extends SparkSpec {
     val nf = Seq(big).toDF("id", "text")
       .select(size(Text.winnowedFingerprints($"text", 5, 4))).as[Int].collect()(0)
     assert(nf > 0 && nf < 200 - 5 + 1)
+    // the tight-loop expression (q45's path) equals the HOF reference
+    // element-for-element on all cases incl. non-ASCII (exact slow path)
+    val all = df.union(Seq(big, ("uni", "ü wé α β γ δ ε ζ η")).toDF("id", "text"))
+    val parity = all.select($"id",
+        graft.functions.F.winnowFingerprints($"text", k, w).as("fast"),
+        Text.winnowedFingerprints($"text", k, w).as("ref"))
+      .collect()
+    parity.foreach(r => assert(r.getSeq[Long](1) === r.getSeq[Long](2), r.getString(0)))
   }
 
   test("LedgerDriftAll.drifted fires on EVERY family, including a PSI-only verdict") {
