@@ -459,8 +459,23 @@ object SparkEntry {
       val base = ev.where(col("event_id") % 2 === 0).select(col("value").as("v"))
       val cur = ev.where(col("event_id") % 2 === 1)
         .select(col("value").as("v"), (col("value") * 1.5 + 25.0).as("v_drift"))
-      val skBase = graft.stats.Drift.sketchColumn(base, "v")
-      val skCur = graft.stats.Drift.sketchColumns(cur, Seq("v", "v_drift"))
+      // the two per-side sketch aggs are independent single-task jobs (each
+      // side is one input split at this SF) — submit them concurrently so
+      // the second isn't serialized behind the first (guide §2.6); each
+      // side's sketch is built by the identical per-side plan, so the
+      // sketch contents (and the drift verdicts) are unchanged
+      val exec = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(exec)
+      val fBase = scala.concurrent.Future(
+        graft.stats.Drift.sketchColumn(base, "v"))
+      val fCur = scala.concurrent.Future(
+        graft.stats.Drift.sketchColumns(cur, Seq("v", "v_drift")))
+      val skBase = scala.concurrent.Await.result(fBase,
+        scala.concurrent.duration.Duration.Inf)
+      val skCur = scala.concurrent.Await.result(fCur,
+        scala.concurrent.duration.Duration.Inf)
+      exec.shutdown()
       val quiet = graft.stats.Drift.checkSketches(skBase, skCur("v"), "v")
       val loud = graft.stats.Drift.checkSketches(skBase, skCur("v_drift"), "v")
       Seq(
@@ -551,9 +566,13 @@ object SparkEntry {
       import s.implicits._
       val people = graft.fixtures.Fixtures.peoplePq(s)
       val tm = graft.semantic.Detector.detectTypes(people)
+      // row count and the validation agg are independent jobs — overlap them
+      val fCount = scala.concurrent.Future(people.count())(
+        scala.concurrent.ExecutionContext.global)
       val issues = graft.semantic.SemanticValidators.validate(people, tm,
         java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
-      val sc = graft.semantic.Scorer.score(people.count(), issues)
+      val sc = graft.semantic.Scorer.score(scala.concurrent.Await.result(fCount,
+        scala.concurrent.duration.Duration.Inf), issues)
       (sc.breakdown.map(l => (l.rule, l.severity, l.rows, l.penalty)) ++
         Seq(("TOTAL", "", 0L, sc.penaltyTotal), ("SCORE", "", 0L, sc.score)))
         .toDF("rule", "severity", "rows", "penalty")
@@ -578,7 +597,20 @@ object SparkEntry {
       val people = graft.fixtures.Fixtures.peoplePq(s)
       val cleaned = graft.semantic.SemanticPipeline.process(people,
         java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).cleaned
-      val prof = graft.stats.Profiler.profile(cleaned)
+      // the four stat scans (profile × 2 sides, duplicate-count × 2 sides)
+      // are independent — run them concurrently (guide §2.6) and feed the
+      // A23 fold the ALREADY-computed profiles instead of re-profiling both
+      // frames inside scoreFrames (r5 profiled `cleaned` twice)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration.Inf
+      val fProfI = Future(graft.stats.Profiler.profile(people))
+      val fProfF = Future(graft.stats.Profiler.profile(cleaned))
+      val fDupI = Future(graft.stats.Profiler.duplicateRowCount(people))
+      val fDupF = Future(graft.stats.Profiler.duplicateRowCount(cleaned))
+      val prof = Await.result(fProfF, Inf)
       val rows = prof.headOption.map(p => p.count + p.nulls).getOrElse(0L)
       val missCells = prof.map(_.nulls).sum
       val logs = Seq(
@@ -586,8 +618,10 @@ object SparkEntry {
         graft.stats.StepLog("enforce_schema", typeConversions = 5, errors = 1),
         graft.stats.StepLog("deduplicate", duplicatesRemoved = 0))
       val m = graft.stats.ReportBuilder.metrics(rows, prof.size, missCells, logs,
-        initialDupRows = graft.stats.Profiler.duplicateRowCount(people))
-      val (v2, _) = graft.stats.QualityReportV2.scoreFrames(people, cleaned, Nil)
+        initialDupRows = Await.result(fDupI, Inf))
+      val (v2, _) = graft.stats.QualityReportV2.scoreFromProfiles(
+        Await.result(fProfI, Inf), prof, Await.result(fDupF, Inf), Nil)
+      pool.shutdown()
       Seq((m.completenessScore, m.validityScore, m.consistencyScore,
           m.uniquenessScore, m.overallScore, v2))
         .toDF("a22_completeness", "a22_validity", "a22_consistency",

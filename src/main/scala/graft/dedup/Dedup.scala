@@ -22,6 +22,22 @@ object Dedup {
   private def h(c: Column, portable: Boolean): Column =
     if (portable) Text.portableHash(c) else Text.fastHash(c)
 
+  /** Scale-adaptive parallelism floor for CPU-heavy per-row passes
+    * (shingling, MinHash signatures): a small input (few parquet files →
+    * few scan splits) otherwise runs the whole signature computation on one
+    * or two cores while the rest idle — locally the 584 KB documents table
+    * is ONE split, so every signature stage was single-task. Repartition to
+    * `defaultParallelism` ONLY when the scan has fewer splits than cores;
+    * at real scale inputs have ≥ thousands of splits and this is a no-op,
+    * so no shuffle is ever added to the 100 TB path (guide §2.4: no
+    * unconditional repartition "for parallelism"). Row order/partitioning
+    * never affects these operators' outputs (set-valued pairs / per-row
+    * projections re-aggregated by key). */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** RELATIVE epsilon for the exactness-preserving prunes: each bound is
     * relaxed by eps·magnitude so IEEE double rounding can only make a prune
     * MORE conservative (a pair at exactly J = t must never be dropped). The
@@ -100,8 +116,12 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             k: Int = 16, bands: Int = 4, shingleK: Int = 3,
                             portable: Boolean = true): DataFrame = {
-    val withBands = df.select(col(idCol).as("id"),
-        minhashSignature(col(textCol), k, shingleK, portable).as("sig"))
+    // signatures are the CPU cost of this operator: compute them AFTER the
+    // parallelism floor (guide §1.2 "per-task work" only after the shape is
+    // right — a single-split scan serialized the whole signature pass)
+    val withBands = spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")))
+      .select(col("id"),
+        minhashSignature(col("__txt"), k, shingleK, portable).as("sig"))
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, portable)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
     val a = withBands.alias("a")
@@ -191,22 +211,47 @@ object Dedup {
       return ngramJaccardPairsViaMinhash(df, textCol, idCol, shingleK,
         minJaccard, portable)
     val distinctSh =
-      graft.functions.F.wordShingles(col(textCol), shingleK, distinct = true)
+      graft.functions.F.wordShingles(col("__txt"), shingleK, distinct = true)
+    // parallelism floor BEFORE the CPU-heavy shingle explode (see [[spread]])
+    val base = spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")))
     // canonical global order for the prefix principle: any TOTAL order works
     // for exactness; (document-frequency asc, shingle) — the AllPairs
     // rarest-first order — keeps the hottest (most common) shingles OUT of
     // prefixes, which is what bounds candidate-bucket sizes at 100 TB.
     // freqOrdered=false falls back to plain lexicographic (one less shuffle).
+    //
+    // VERIFY REPRESENTATION: the r5 shape carried shingle STRING arrays into
+    // the verify join and intersected those — measured 13.3 CPU-sec at sf0.1
+    // (325 k candidate pairs × array_intersect over two ~52-element string
+    // arrays). Verification only needs |∩| (then |∪| = nₐ + n_b − |∩|), so
+    // the arrays are reduced to 60-bit shingle HASHES — ~8× cheaper to
+    // intersect and half the bytes shuffled — GUARDED by an exact global
+    // collision certificate: one tiny agg over the (already-computed)
+    // distinct-shingle frame checks count(shingle) == count_distinct(hash).
+    // Certificate holds ⇒ hash equality ⇔ string equality ⇒ |∩| (and the
+    // output) is bit-identical to the string plan; in the astronomically
+    // rare failure case the string plan runs instead. The certificate rides
+    // the same freq aggregate the rarest-first order needs anyway.
+    val toks = base.select(col("id"), explode(distinctSh).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val hashVerify: Boolean = freqOrdered && {
+      val r = freq.agg(count(lit(1)),
+        count_distinct(h(col("tok"), portable))).collect()(0)
+      val ok = r.getLong(0) == r.getLong(1)
+      if (!ok) System.err.println(
+        "[graft.dedup] shingle-hash collision detected — exact jaccard falls " +
+        "back to string-array verification")
+      ok
+    }
     val sh: DataFrame =
       if (!freqOrdered)
-        df.select(col(idCol).as("id"), array_sort(distinctSh).as("sh"))
+        base.select(col("id"), array_sort(distinctSh).as("sh"))
       else {
-        val toks = df.select(col(idCol).as("id"), explode(distinctSh).as("tok"))
-        val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        val elem = if (hashVerify) h(col("tok"), portable) else col("tok")
         toks.join(freq, "tok")
           .groupBy("id")
-          .agg(transform(sort_array(collect_list(struct(col("df"), col("tok")))),
-            s => s.getField("tok")).as("sh"))
+          .agg(transform(sort_array(collect_list(struct(col("df").as("df"),
+            elem.as("e")))), s => s.getField("e")).as("sh"))
       }
     val n = size(col("sh"))
     // required prefix for recall 1.0 is n − ⌈t·n⌉ + 1; the epsilon inside
@@ -217,8 +262,18 @@ object Dedup {
     val prefixLen = (n - ceil(n * lit(minJaccard * (1 - PruneEps))) + 1).cast("int")
     val withPrefix = sh.select(col("id"), col("sh"), n.as("n"),
       slice(col("sh"), lit(1), prefixLen).as("prefix"))
+    // The candidate join and the verify are CPU-dense but byte-light (a few
+    // MB of shuffle carrying hundreds of thousands of candidate pairs), so
+    // AQE's size-based coalescing folds them onto 3 post-shuffle partitions
+    // and serializes ~4.4 CPU-sec of pair work onto 3 cores. Explicit hash
+    // repartitions (which AQE never coalesces) pin the join and the verify
+    // at full parallelism; P tracks the session's shuffle width so a real
+    // cluster's configured scale is respected, never a local constant.
+    val P = math.max(df.sparkSession.sparkContext.defaultParallelism,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
     val tokens = withPrefix.select(col("id"), col("n"),
       posexplode(col("prefix")).as(Seq("pos", "tok")))
+      .repartition(P, col("tok")) // shared by both join sides → ONE exchange
     // Two exactness-preserving candidate prunes (AllPairs/PPJoin, public
     // literature — Bayardo et al. WWW'07, Xiao et al. WWW'08):
     //  - length filter: J ≥ t ⇒ |∩| ≥ t·|∪| ≥ t·max(|a|,|b|) and
@@ -242,16 +297,25 @@ object Dedup {
             greatest(col("a.n"), col("b.n")) * (minJaccard * (1 - PruneEps)) &&
           (lit(1) + least(col("a.n") - col("a.pos") - 1,
                           col("b.n") - col("b.pos") - 1)) >= alpha)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      // pair-keyed repartition feeds BOTH the dedup aggregate (which reuses
+      // the partitioning — no extra exchange) and the verify stage at P
+      // tasks instead of AQE's byte-coalesced 3
+      .repartition(P, col("id_a"), col("id_b")).distinct()
     // re-join the (small) candidate set back to the shingle arrays; exact
-    // verify — array_intersect/union are order-independent, so the canonical
-    // ordering never affects the result, only the candidate volume
-    val sa = withPrefix.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val sb = withPrefix.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    // verify — array_intersect is order-independent, so the canonical
+    // ordering never affects the result, only the candidate volume. The
+    // arrays are distinct SETS by construction, so |∪| = nₐ + n_b − |∩|
+    // exactly — the r5 plan paid a second hash-set pass (array_union) per
+    // candidate pair just to re-derive a size it already knew.
+    val sa = withPrefix.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      col("n").as("n_a"))
+    val sb = withPrefix.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      col("n").as("n_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     cands.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-         size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        (inter / (col("n_a") + col("n_b") - inter)).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
 
@@ -288,21 +352,25 @@ object Dedup {
       "(verified pairs are exact; pass forceExact=true for guaranteed recall 1.0)")
     val cands = minhashCandidatePairs(df, textCol, idCol, k, bands, shingleK,
       portable)
-    val sh = df.select(col(idCol).as("id"),
-        graft.functions.F.wordShingles(col(textCol), shingleK, distinct = true)
+    // parallelism floor before the shingle pass (see [[spread]])
+    val sh = spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")))
+      .select(col("id"),
+        graft.functions.F.wordShingles(col("__txt"), shingleK, distinct = true)
           .as("sh"))
       .withColumn("n", size(col("sh"))) // sized AFTER the projection so the
         // CodegenFallback shingle expr evaluates once, not twice
     val sa = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
     val sb = sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))
+    // arrays are distinct sets ⇒ |∪| = nₐ + n_b − |∩| exactly (no second
+    // hash-set pass per pair; same arithmetic as the exact path)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val verified = cands.join(sa, "id_a").join(sb, "id_b")
       // relative epsilon keeps the length prune strictly conservative at
       // exact-threshold pairs (same rounding case as the exact path's filter)
       .where(least(col("n_a"), col("n_b")).cast("double") >=
              greatest(col("n_a"), col("n_b")) * (minJaccard * (1 - PruneEps)))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-         size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        (inter / (col("n_a") + col("n_b") - inter)).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
     if (telemetry) {
       val nCand = cands.count(); val nVer = verified.count()

@@ -409,16 +409,26 @@ object SemanticPipeline {
                 java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
               region: String = "IN"): Result = {
     val typeMap = Detector.detectTypes(df)
-    val total = df.count()
-    val before = SemanticValidators.validate(df, typeMap, runTs)
-    val sBefore = Scorer.score(total, before)
     val transforms = typeMap.toSeq.sortBy(_._1).flatMap { case (c, meta) =>
       SemanticCleaners.forType(c, meta.detectedType, region).map(t => (c, meta, t)) }
     val cleaned = transforms.foldLeft(df) { case (d, (c, _, t)) => d.withColumn(c, t) }
+    // The four post-detection statistics (row count, before-issues,
+    // change-log counts, after-issues) are INDEPENDENT single-agg jobs that
+    // r5 ran back-to-back, so the pipeline's wall time was their sum; they
+    // now run concurrently from a small driver pool (guide §2.6). Each
+    // job's plan — and so each result — is unchanged.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration.Inf
+    val fTotal = Future(df.count())
+    val fBefore = Future(SemanticValidators.validate(df, typeMap, runTs))
+    val fAfter = Future(SemanticValidators.validate(cleaned, typeMap, runTs))
     // ChangeLog per cleaned column (`types.py:37-42`, `cleaner.py` returns
     // one per operation): rows_changed = cells whose string form changed —
     // ONE agg over the input evaluating old vs new expression per column
-    val changeLogs: Seq[ChangeLog] =
+    val fChangeLogs: Future[Seq[ChangeLog]] = Future {
       if (transforms.isEmpty) Nil
       else {
         val sentinel = " ∅"
@@ -432,9 +442,14 @@ object SemanticPipeline {
             if (row.isNullAt(i)) 0L else row.getLong(i), Nil)
         }.filter(_.rows_changed > 0)
       }
-    val after = SemanticValidators.validate(cleaned, typeMap, runTs)
-    Result(cleaned, typeMap, before, after, sBefore, Scorer.score(total, after),
-      changeLogs)
+    }
+    val total = Await.result(fTotal, Inf)
+    val before = Await.result(fBefore, Inf)
+    val after = Await.result(fAfter, Inf)
+    val changeLogs = Await.result(fChangeLogs, Inf)
+    pool.shutdown()
+    Result(cleaned, typeMap, before, after, Scorer.score(total, before),
+      Scorer.score(total, after), changeLogs)
   }
 
   /** The EP3 report artifact, matching `report_demo_data.json`'s shape:

@@ -93,9 +93,14 @@ object Metrics {
     val distinctAgg: String => org.apache.spark.sql.Column =
       c => if (exactDistinct) countDistinct(col(c)) else approx_count_distinct(col(c))
     val aggs = count(lit(1)).as("__rows") +: df.columns.map(c => distinctAgg(c).as(c))
+    // distinct agg and duplicate-row count are independent jobs — overlap
+    // them (guide §2.6); results unchanged
+    val fDup = scala.concurrent.Future(Profiler.duplicateRowCount(df))(
+      scala.concurrent.ExecutionContext.global)
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val rows = r.getAs[Long]("__rows")
-    val dupRows = Profiler.duplicateRowCount(df)
+    val dupRows = scala.concurrent.Await.result(fDup,
+      scala.concurrent.duration.Duration.Inf)
     val per = df.columns.map(c =>
       c -> (if (rows == 0) 100.0 else r.getAs[Long](c) * 100.0 / rows)).toMap
     Uniqueness(if (rows == 0) 0 else dupRows * 100.0 / rows, per)
@@ -177,12 +182,26 @@ object Metrics {
     BeforeAfter(rb, ra, mb, ma, db, da)
   }
 
-  /** Full dimension pass + score. */
+  /** Full dimension pass + score. The four dimension scans (completeness,
+    * validity+consistency, uniqueness's distinct agg, duplicate-row count)
+    * are independent jobs — submitted concurrently (guide §2.6) so the
+    * report's wall time is the slowest scan, not the sum; every job's plan
+    * and result is unchanged. */
   def qualityReport(df: DataFrame, reference: Option[(DataFrame, String)] = None): (QualityDimensions, Double) = {
-    val comp = completeness(df)
-    val (valid, consist) = validityAndConsistency(df)
-    val uniq = uniqueness(df)
-    val acc = reference.flatMap { case (ref, key) => accuracy(df, ref, key) }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration.Inf
+    val fComp = Future(completeness(df))
+    val fVc = Future(validityAndConsistency(df))
+    val fUniq = Future(uniqueness(df))
+    val fAcc = reference.map { case (ref, key) => Future(accuracy(df, ref, key)) }
+    val comp = Await.result(fComp, Inf)
+    val (valid, consist) = Await.result(fVc, Inf)
+    val uniq = Await.result(fUniq, Inf)
+    val acc = fAcc.flatMap(f => Await.result(f, Inf))
+    pool.shutdown()
     val dims = QualityDimensions(comp, valid, consist, uniq, acc)
     (dims, overallScore(dims))
   }

@@ -153,12 +153,23 @@ object QualityReportV2 {
   /** A23 end-to-end over two frames + the audit trail: one profile pass per
     * side, all folds on the driver. Returns (score, driftPenalty). */
   def scoreFrames(initial: DataFrame, cleaned: DataFrame,
-                  audit: Seq[AuditEntry]): (Double, Double) = {
-    val pi = Profiler.profile(initial).map(p => p.column -> p).toMap
-    val pf = Profiler.profile(cleaned).map(p => p.column -> p).toMap
+                  audit: Seq[AuditEntry]): (Double, Double) =
+    scoreFromProfiles(Profiler.profile(initial), Profiler.profile(cleaned),
+      Profiler.duplicateRowCount(cleaned), audit)
+
+  /** The [[scoreFrames]] fold over ALREADY-computed inputs — a caller that
+    * profiled the frames for other outputs reuses those scans instead of
+    * paying them again (q38 ran profile(cleaned) twice, guide §1.2 "don't
+    * compute things you throw away"). Same arithmetic, same result. */
+  def scoreFromProfiles(profInitial: Seq[ColumnProfile],
+                        profCleaned: Seq[ColumnProfile],
+                        dupRowsCleaned: Long,
+                        audit: Seq[AuditEntry]): (Double, Double) = {
+    val pi = profInitial.map(p => p.column -> p).toMap
+    val pf = profCleaned.map(p => p.column -> p).toMap
     val rows = pf.values.headOption.map(p => p.count + p.nulls).getOrElse(0L)
     val dupPct = {
-      val d = Profiler.duplicateRowCount(cleaned)
+      val d = dupRowsCleaned
       if (rows == 0) 0.0 else d * 100.0 / rows
     }
     val baseline = pi.map { case (c, p) =>

@@ -168,6 +168,7 @@ object Sketches {
       if (v < minV) minV = v
       if (v > maxV) maxV = v
       levels(0) += v
+      cdfCache = null
       if (levels(0).length > cap(0) * 2) compress()
     }
 
@@ -201,6 +202,7 @@ object Sketches {
       count += o.count
       if (o.minV < minV) minV = o.minV
       if (o.maxV > maxV) maxV = o.maxV
+      cdfCache = null
       compress()
       this
     }
@@ -215,14 +217,37 @@ object Sketches {
       out.sortBy(_._1).toArray
     }
 
-    /** Empirical CDF: fraction of mass ≤ x. */
+    /** Sorted item values + cumulative weights, built once and reused by
+      * every [[cdf]] call. The r5 cdf re-sorted the whole sketch per call
+      * (`weighted` is an O(m log m) sort), which made the driver-side KS
+      * fold accidentally quadratic: max-gap over the ~2m-point union support
+      * cost ~2m sorts of m items — measured ~1.9 s of q25's 2.4 s. Same
+      * longs summed in the same order ⇒ bit-identical cdf values.
+      * Invalidated by update/merge. */
+    @transient private var cdfCache: (Array[Double], Array[Long]) = null
+    private def cdfArrays: (Array[Double], Array[Long]) = {
+      if (cdfCache == null) {
+        val w = weighted
+        val vs = new Array[Double](w.length)
+        val cum = new Array[Long](w.length)
+        var acc = 0L; var i = 0
+        while (i < w.length) { acc += w(i)._2; vs(i) = w(i)._1; cum(i) = acc; i += 1 }
+        cdfCache = (vs, cum)
+      }
+      cdfCache
+    }
+
+    /** Empirical CDF: fraction of mass ≤ x (binary search on the cached
+      * cumulative table — O(log m) per call). */
     def cdf(x: Double): Double = {
       if (count == 0) return 0.0
-      var acc = 0L
-      val w = weighted
-      var i = 0
-      while (i < w.length && w(i)._1 <= x) { acc += w(i)._2; i += 1 }
-      acc.toDouble / count
+      val (vs, cum) = cdfArrays
+      var lo = 0; var hi = vs.length - 1; var ans = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (vs(mid) <= x) { ans = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      if (ans < 0) 0.0 else cum(ans).toDouble / count
     }
 
     /** Quantile estimate at probability q in [0, 1]. */
