@@ -33,6 +33,10 @@ import org.apache.spark.sql.functions._
  */
 object Components {
 
+  /** Rounds taken by the most recent [[connectedComponents]] call — test
+    * introspection for the jobs-per-round convergence budget. */
+  private[graft] val lastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Components of the graph whose edges are `pairs(aCol, bCol)`.
     * Returns (id, component) for every node that appears in an edge, where
     * `component` is the MINIMUM node id in the component (deterministic,
@@ -102,6 +106,7 @@ object Components {
       edges = ss
       edgeSig = ssSig
       iter += 1
+      lastRounds.set(iter)
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +

@@ -249,9 +249,38 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
     val rowViolations = ValidationEngine.violationsFromNarrow(narrowP, rowRules)
 
     // Scale-path checks producing extra violation rows.
+    //
+    // Uniqueness sourcing (r6): the r5 shape re-scanned the WIDE docs table
+    // twice more for uniqueness — once for the key scan feeding the salted
+    // dup-count agg and once as the probe side of the violation semi-join
+    // (stage-profiled at 8→32: together the worst-scaling stages of the
+    // engine leg). On a FULL run over the narrow id column, both passes are
+    // derivable from the narrow annotation instead — a 2-column pruned read
+    // of the already-persisted cache, zero extra decodes of the spans
+    // column. Falls back to the docs table when (a) resuming / limiting
+    // partitions (uniqueness is GLOBAL but narrow only covers in-scope
+    // partitions), (b) the key isn't the narrow id column, (c) the key
+    // column isn't already a string (narrow stores the CAST string; for
+    // string keys the cast is the identity, so grouping is unchanged), or
+    // (d) content passthroughs widen the cache: a MEMORY_AND_DISK cache
+    // whose partitions spill stores whole serialized batches, so a
+    // "2-column" read of a WIDE cache pays full-width I/O (measured: the
+    // content-carrying ScalingBench leg read 51.5 GB vs 22.1 GB and LOST
+    // wall at 32-wide, while the content-free headline leg dropped from
+    // ~630 to ~424 CPU-s). Thin cache -> use it; wide cache -> the pruned
+    // parquet re-scan stays the cheaper source.
+    val uniqSource: DataFrame = {
+      val keyIsNarrowId = config.uniquenessKey.contains("doc_id") &&
+        docs.schema.fields.exists(f => f.name == "doc_id" &&
+          f.dataType == org.apache.spark.sql.types.StringType)
+      if (keyIsNarrowId && done.isEmpty && limitParts.isEmpty &&
+          config.passthroughExprs.isEmpty)
+        narrowP.select($"doc_id", $"part")
+      else docs
+    }
     val extra = Seq(
       config.uniquenessKey.map(k =>
-        UniquenessCheck.violations(docs, k, "part").where(partFilter(col("part")))),
+        UniquenessCheck.violations(uniqSource, k, "part").where(partFilter(col("part")))),
       assets.filter(_ => config.checkReferentialIntegrity)
         .map(a => ReferentialIntegrity.violations(todo, a))
     ).flatten

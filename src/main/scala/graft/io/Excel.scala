@@ -161,15 +161,15 @@ object Excel {
     * (the robust-loader contract — numeric coercion is C2's job). */
   def readXlsx(spark: SparkSession, path: String,
                sheet: Option[String] = None): DataFrame = {
-    val all = readAllSheets(spark, path, sheet.map(Seq(_)))
-    sheet match {
-      case Some(n) => all.getOrElse(n,
-        throw new IllegalArgumentException(
-          s"sheet '$n' not in $path (has: ${sheetNames(path).mkString(", ")})"))
-      case None =>
-        if (all.isEmpty) throw new IllegalArgumentException(s"$path has no sheets")
-        all.head._2
-    }
+    // parse ONLY the requested sheet's part: with sheet=None the r5 path
+    // parsed every sheet's full grid just to return the first (ADVICE r5) —
+    // the name listing reads just workbook.xml, not the cell parts
+    val wanted = sheet.orElse(sheetNames(path).headOption)
+      .getOrElse(throw new IllegalArgumentException(s"$path has no sheets"))
+    val all = readAllSheets(spark, path, Some(Seq(wanted)))
+    all.getOrElse(wanted,
+      throw new IllegalArgumentException(
+        s"sheet '$wanted' not in $path (has: ${sheetNames(path).mkString(", ")})"))
   }
 
   /** S5 — load every sheet (pandas `sheet_name=None` → dict of frames).

@@ -138,8 +138,14 @@ object Sampling {
                     weights: Map[String, Double], targetTotal: Long,
                     salt: String = "strata", buckets: Int = 10000,
                     portable: Boolean = true): DataFrame = {
+    // group key cast to string in the AGGREGATE (not getString on the
+    // driver row): an int/long-typed group column threw ClassCastException
+    // after the count job already ran (ADVICE r5). The fraction map is
+    // string-keyed either way, and stratifiedKeepColumn's `groupCol === key`
+    // comparison coerces the literal back to the column type, so string
+    // group columns behave exactly as before.
     val counts = df.where(col(groupCol).isNotNull && col(idCol).isNotNull)
-      .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .groupBy(col(groupCol).cast("string").as("__g")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val fr = mixtureFractions(counts, weights, targetTotal)
     stratifiedHashSample(df, idCol, groupCol, fr,

@@ -66,6 +66,34 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("convergence costs at most 2 actions per round (checksum, not count+count+except)") {
+    // r5 ran ss.count + edges.count + except.isEmpty — three shuffling
+    // actions — EVERY round; the checksum convergence runs one agg per
+    // round plus one final except when the checksum matches. A 16-node
+    // chain needs several star-contraction rounds, so the per-round job
+    // count dominates: pin a total budget of 2 setup jobs + 2 jobs/round
+    // + the one-time final except (≤ 4 jobs under AQE).
+    val chain = (0L until 15L).map(i => (i, i + 1))
+    val group = s"cc-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, "cc job-count probe")
+    val got = try Components.connectedComponents(chain.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      finally spark.sparkContext.clearJobGroup()
+    val n = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    assert(got === unionFindComponents(chain), "chain must resolve to one component")
+    val rounds = Components.lastRounds.get()
+    assert(rounds >= 2, s"sanity: a 16-chain needs several rounds, got $rounds")
+    // Per round the new shape runs TWO actions: the small-star eager
+    // checkpoint (a 4-shuffle plan → ~5 AQE stage-jobs) and the checksum agg
+    // (~2); the r5 shape added the large-star checkpoint + edges.count +
+    // except.isEmpty ≈ +6 jobs/round. Budget: 9 jobs/round + 12 fixed
+    // (init distinct+sig, one final except, output collect) — the old shape
+    // blows this by ~50% on any multi-round input.
+    assert(n <= 9 * rounds + 12,
+      s"connectedComponents ran $n jobs over $rounds rounds — " +
+      "convergence regressed toward the 3-actions/round shape")
+  }
+
   test("string ids cluster by lexicographic min") {
     val got = Components.connectedComponents(
         Seq(("doc-b", "doc-a"), ("doc-b", "doc-c")).toDF("id_a", "id_b"))

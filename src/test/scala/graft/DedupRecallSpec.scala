@@ -61,6 +61,21 @@ class DedupRecallSpec extends SparkSpec {
     assert(borderline >= 5, s"want borderline pairs, got $borderline")
   }
 
+  test("hash-verified exact path (freqOrdered) ≡ string-verified path (lexicographic), jaccard included") {
+    // r6 moved the freq-ordered exact path's verify to 60-bit shingle
+    // hashes behind a global collision certificate; the lexicographic path
+    // still verifies on strings. Both are exact, so pairs AND jaccard
+    // values must be identical — this pins the certificate-gated hash plan
+    // against the unhashed reference plan.
+    val df = docs.toDF("doc_id", "text")
+    def run(freqOrdered: Boolean) =
+      Dedup.ngramJaccardPairs(df, "text", "doc_id", shingleK = 3,
+          minJaccard = 0.3, forceExact = true, freqOrdered = freqOrdered)
+        .select($"id_a", $"id_b", round($"jaccard", 9).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+    assert(run(freqOrdered = true) === run(freqOrdered = false))
+  }
+
   test("exact path keeps pairs at EXACTLY J = t (prunes are epsilon-conservative)") {
     // ADVICE r4: |a|=10 shingles, |b|=3 shingles, b ⊂ a gives J = 3/10 at
     // t = 0.3 (this product happens to round exactly — kept as the

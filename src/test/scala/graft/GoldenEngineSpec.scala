@@ -403,10 +403,31 @@ class GoldenEngineSpec extends SparkSpec {
     assert(parquetScans(verdicts.queryExecution.optimizedPlan) === 0,
       verdicts.queryExecution.optimizedPlan.toString)
     assert(verdicts.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
-    // the narrow annotation itself reads the docs table exactly once; with
-    // the uniqueness key scan and the RI media scan that makes 3 scans total
+    // the narrow annotation itself reads the docs table exactly once; the
+    // RI media scan is the ONLY other docs read — r6 moved BOTH uniqueness
+    // passes (key scan + violation semi-join probe) onto the narrow cache,
+    // so a full run decodes the wide docs table exactly twice, not four
+    // times (r5: rule pass + 2 uniqueness scans + RI)
     assert(run.lastNarrow.isDefined)
     assert(parquetScans(run.lastNarrow.get.queryExecution.analyzed) === 1)
+    // physical scan census INSIDE the cached violations plan: recurse
+    // through AQE wrappers but NOT into InMemoryTableScan (reads of the
+    // narrow cache are exactly the point) — only the RI branch may touch
+    // the parquet table
+    locally {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.columnar.InMemoryRelation
+      def physScans(p: org.apache.spark.sql.execution.SparkPlan): Int =
+        p.collect { case _: FileSourceScanExec => 1
+                    case a: AdaptiveSparkPlanExec => physScans(a.executedPlan) }.sum
+      val cached = viols.queryExecution.optimizedPlan.collectFirst {
+        case im: InMemoryRelation => im.cachedPlan }
+      assert(cached.isDefined, "violations should be cached")
+      assert(physScans(cached.get) === 1,
+        s"violations should scan the docs table ONLY for referential " +
+        s"integrity (uniqueness rides the narrow cache):\n${cached.get}")
+    }
     viols.unpersist(); run.unpersistAll()
   }
 

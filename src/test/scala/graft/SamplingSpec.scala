@@ -147,6 +147,19 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(got("books") - 500.0) < 100, got.toString)
   }
 
+  test("mixtureSample accepts a non-string (integer) group column") {
+    // ADVICE r5: the group-count collect assumed StringType and threw
+    // ClassCastException for int/long group columns
+    val d = ((0L until 4000L).map(i => (i, 1)) ++
+             (4000L until 5000L).map(i => (i, 2)))
+      .toDF("doc_id", "source_id")
+    val got = Sampling.mixtureSample(d, "doc_id", "source_id",
+      Map("1" -> 0.5, "2" -> 0.5), targetTotal = 1000L)
+      .groupBy("source_id").count().as[(Int, Long)].collect().toMap
+    assert(math.abs(got(1) - 500.0) < 100, got.toString)
+    assert(math.abs(got(2) - 500.0) < 100, got.toString)
+  }
+
   test("quotaSample returns full rows of kept ids (incl. null-group safety)") {
     val withNullGroup = docs
       .withColumn("source", when($"doc_id" < 10, lit(null)).otherwise($"source"))
