@@ -63,6 +63,15 @@ object ReferentialIntegrity {
       .select(col("doc_id"), col("part"),
               col("s.media_ref").as("media_ref"),
               col("s.offset").as("span_offset"))
+    violationsFromRefs(refs, assets, broadcastCatalog)
+  }
+
+  /** The anti-join half of [[violations]], for a caller that already holds
+    * the exploded `(doc_id, part, media_ref, span_offset)` reference rows —
+    * the engine extracts them on the rule-pass scan so RI costs no second
+    * decode of the spans column. */
+  def violationsFromRefs(refs: DataFrame, assets: DataFrame,
+                         broadcastCatalog: Boolean = false): DataFrame = {
     val cat = if (broadcastCatalog) broadcast(assets) else assets
     refs.join(cat, refs("media_ref") === cat("asset_id"), "left_anti")
       .select(lit("referential_integrity(media_ref)").as("rule_id"),
@@ -236,11 +245,28 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
     // uniqueness key scan, RI media-span scan), guarded by GoldenEngineSpec.
     val rowRules = config.rules.filterNot(r =>
       r.spec.isInstanceOf[RuleSpec.Unique]) // Unique handled by salted agg below
+    // Referential-integrity refs ride the rule-pass scan too (r6): the RI
+    // check only needs each doc's (media_ref, offset) pairs, and the rule
+    // pass already decodes the spans column — extracting them there saves
+    // the dedicated full spans re-decode the r5 shape paid. Gated like the
+    // uniqueness sourcing below: full runs with a thin cache only (content
+    // passthroughs widen every cached row; see the measured negative result
+    // on the uniqueness gate). The refs array adds ~tens of bytes/row for
+    // the ~1-in-3 docs carrying media spans.
+    val riViaNarrow = assets.isDefined && config.checkReferentialIntegrity &&
+      done.isEmpty && limitParts.isEmpty && config.passthroughExprs.isEmpty &&
+      docs.columns.contains("spans")
+    val riRefsCol: Seq[org.apache.spark.sql.Column] =
+      if (riViaNarrow)
+        Seq(transform(filter(col("spans"), s => s.getField("media_ref").isNotNull),
+          s => struct(s.getField("media_ref").as("media_ref"),
+                      s.getField("offset").as("offset"))).as("__media_refs"))
+      else Nil
     // Ledger-sketch inputs ride the SAME scan as the rule pass (one double /
     // one 8-byte hash per sketch per row in the narrow cache) — the --sketch
     // flag costs zero extra scans of the docs table.
     val narrow = ValidationEngine.annotateNarrow(todo, rowRules, "doc_id", "part",
-      sketchPassthroughCols ++ config.passthroughExprs)
+      sketchPassthroughCols ++ config.passthroughExprs ++ riRefsCol)
     val narrowP =
       if (config.persistAnnotations)
         narrow.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -281,8 +307,15 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
     val extra = Seq(
       config.uniquenessKey.map(k =>
         UniquenessCheck.violations(uniqSource, k, "part").where(partFilter(col("part")))),
-      assets.filter(_ => config.checkReferentialIntegrity)
-        .map(a => ReferentialIntegrity.violations(todo, a))
+      assets.filter(_ => config.checkReferentialIntegrity).map { a =>
+        if (riViaNarrow)
+          ReferentialIntegrity.violationsFromRefs(
+            narrowP.select($"doc_id", $"part",
+                explode($"__media_refs").as("s"))
+              .select($"doc_id", $"part", $"s.media_ref".as("media_ref"),
+                      $"s.offset".as("span_offset")), a)
+        else ReferentialIntegrity.violations(todo, a)
+      }
     ).flatten
     // Violations are tiny relative to the input; cache so the verdict
     // aggregation and the artifact write evaluate the scan+rules once, not

@@ -403,17 +403,17 @@ class GoldenEngineSpec extends SparkSpec {
     assert(parquetScans(verdicts.queryExecution.optimizedPlan) === 0,
       verdicts.queryExecution.optimizedPlan.toString)
     assert(verdicts.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
-    // the narrow annotation itself reads the docs table exactly once; the
-    // RI media scan is the ONLY other docs read — r6 moved BOTH uniqueness
-    // passes (key scan + violation semi-join probe) onto the narrow cache,
-    // so a full run decodes the wide docs table exactly twice, not four
-    // times (r5: rule pass + 2 uniqueness scans + RI)
+    // the narrow annotation reads the docs table exactly once, and on a
+    // full run that is the ONLY docs read: r6 moved BOTH uniqueness passes
+    // (key scan + violation semi-join probe) AND the RI media-ref
+    // extraction onto the narrow cache, so the whole suite decodes the
+    // wide docs table ONCE, not four times (r5: rule pass + 2 uniqueness
+    // scans + RI re-decode of the spans column)
     assert(run.lastNarrow.isDefined)
     assert(parquetScans(run.lastNarrow.get.queryExecution.analyzed) === 1)
     // physical scan census INSIDE the cached violations plan: recurse
     // through AQE wrappers but NOT into InMemoryTableScan (reads of the
-    // narrow cache are exactly the point) — only the RI branch may touch
-    // the parquet table
+    // narrow cache are exactly the point) — no branch may re-touch parquet
     locally {
       import org.apache.spark.sql.execution.FileSourceScanExec
       import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -424,9 +424,9 @@ class GoldenEngineSpec extends SparkSpec {
       val cached = viols.queryExecution.optimizedPlan.collectFirst {
         case im: InMemoryRelation => im.cachedPlan }
       assert(cached.isDefined, "violations should be cached")
-      assert(physScans(cached.get) === 1,
-        s"violations should scan the docs table ONLY for referential " +
-        s"integrity (uniqueness rides the narrow cache):\n${cached.get}")
+      assert(physScans(cached.get) === 0,
+        s"violations must derive entirely from the narrow cache on a full " +
+        s"run (uniqueness AND referential integrity):\n${cached.get}")
     }
     viols.unpersist(); run.unpersistAll()
   }
