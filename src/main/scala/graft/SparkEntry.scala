@@ -494,12 +494,17 @@ object SparkEntry {
       // HLL udaf kept in its own agg: mixing with countDistinct forces the
       // Expand-based multi-distinct plan, which drops the object-hash-agg
       // fast path for the udaf buffer (measured 20x slower)
-      val est = li.agg(
+      // the HLL agg and the exact-distinct agg are independent jobs —
+      // overlap them (guide §2.6); each plan and result is unchanged
+      val fEst = scala.concurrent.Future(li.agg(
         hll(xxhash64(col("l_partkey"))).as("est_parts"),
-        hll(xxhash64(col("l_orderkey"))).as("est_orders")).collect()(0)
+        hll(xxhash64(col("l_orderkey"))).as("est_orders")).collect()(0))(
+        scala.concurrent.ExecutionContext.global)
       val exact = li.agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
         countDistinct(col("l_orderkey")).as("exact_orders")).collect()(0)
+      val est = scala.concurrent.Await.result(fEst,
+        scala.concurrent.duration.Duration.Inf)
       Seq(("l_partkey", est.getLong(0), exact.getLong(0)),
           ("l_orderkey", est.getLong(1), exact.getLong(1)))
         .toDF("column", "estimate", "exact")

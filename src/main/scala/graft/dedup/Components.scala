@@ -47,12 +47,16 @@ object Components {
     val empty = pairs.limit(0)
       .select(col(aCol).as("id"), col(bCol).as("component"))
     // canonical undirected edges (u > v), self-loops dropped
+    // LAZY localCheckpoint everywhere in this loop: the checksum action
+    // below materializes the checkpoint AND computes the round's signature
+    // in ONE job, where the r5 shape paid a dedicated eager-materialization
+    // job per checkpoint before any statistic ran.
     var edges = pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
               least(col(aCol), col(bCol)).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Convergence is detected with ONE distributed action per round: a set
     // checksum (count, xor of per-edge hashes — order/partitioning
     // independent). A matching checksum only TRIGGERS the exact `except`
@@ -96,7 +100,7 @@ object Components {
         .where(col("node") =!= col("m"))
         .select(col("node").as("u"), col("m").as("v")) // m ≤ all ⇒ canonical
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false) // materialized by sig() below — one action
 
       val ssSig = sig(ss)
       // converged ⇔ the canonical edge set is a fixpoint (both sets are
