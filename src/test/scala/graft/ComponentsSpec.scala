@@ -62,7 +62,14 @@ class ComponentsSpec extends SparkSpec {
     Iterator.iterate(seed0)(_.next).take(12).foreach { seed =>
       val raw = edgeGen(Gen.Parameters.default, seed).get
       val edges = raw.filter { case (a, b) => a != b }
+      // BOTH paths against the oracle: the default (size gate → driver
+      // union-find at these sizes) AND the forced distributed loop — so the
+      // fast path can never drift from star-contraction unnoticed
       assert(run(edges) === unionFindComponents(edges))
+      val distributed = Components.connectedComponents(
+          edges.toDF("id_a", "id_b"), smallEdgeLimit = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(distributed === unionFindComponents(edges))
     }
   }
 
@@ -76,7 +83,10 @@ class ComponentsSpec extends SparkSpec {
     val chain = (0L until 15L).map(i => (i, i + 1))
     val group = s"cc-${System.nanoTime()}"
     spark.sparkContext.setJobGroup(group, "cc job-count probe")
-    val got = try Components.connectedComponents(chain.toDF("id_a", "id_b"))
+    // smallEdgeLimit = 0 forces the DISTRIBUTED star-contraction loop (the
+    // size gate would otherwise resolve a 15-edge graph on the driver)
+    val got = try Components.connectedComponents(chain.toDF("id_a", "id_b"),
+        smallEdgeLimit = 0L)
         .as[(Long, Long)].collect().toMap
       finally spark.sparkContext.clearJobGroup()
     val n = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
