@@ -119,11 +119,15 @@ object Dedup {
     // signatures are the CPU cost of this operator: compute them AFTER the
     // parallelism floor (guide §1.2 "per-task work" only after the shape is
     // right — a single-split scan serialized the whole signature pass)
+    // lazy localCheckpoint: both self-join sides read the materialized
+    // (id, band, key) rows — ~20 B/doc/band, the lightweight proxy — so the
+    // signature pass runs ONCE, not once per join side
     val withBands = spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")))
       .select(col("id"),
         minhashSignature(col("__txt"), k, shingleK, portable).as("sig"))
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, portable)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.key").as("key"))
+      .localCheckpoint(false)
     val a = withBands.alias("a")
     val b = withBands.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
@@ -233,7 +237,13 @@ object Dedup {
     // rare failure case the string plan runs instead. The certificate rides
     // the same freq aggregate the rarest-first order needs anyway.
     val toks = base.select(col("id"), explode(distinctSh).as("tok"))
+    // freq is consumed twice (collision certificate + rarest-first join) and
+    // would otherwise re-run the full shingle explode + aggregate for each:
+    // a LAZY localCheckpoint lets the certificate action below materialize
+    // it once, and the sh-build join reads the materialized result (guide
+    // §3.3 — materialize a reused intermediate instead of recomputing it)
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .localCheckpoint(false)
     val hashVerify: Boolean = freqOrdered && {
       val r = freq.agg(count(lit(1)),
         count_distinct(h(col("tok"), portable))).collect()(0)
@@ -243,6 +253,9 @@ object Dedup {
         "back to string-array verification")
       ok
     }
+    // the shingle-array frame feeds THREE branches (prefix tokens + both
+    // verify sides); checkpointing it runs the collect_list aggregate once
+    // instead of once per branch
     val sh: DataFrame =
       if (!freqOrdered)
         base.select(col("id"), array_sort(distinctSh).as("sh"))
@@ -252,6 +265,7 @@ object Dedup {
           .groupBy("id")
           .agg(transform(sort_array(collect_list(struct(col("df").as("df"),
             elem.as("e")))), s => s.getField("e")).as("sh"))
+          .localCheckpoint(false)
       }
     val n = size(col("sh"))
     // required prefix for recall 1.0 is n − ⌈t·n⌉ + 1; the epsilon inside
@@ -352,13 +366,15 @@ object Dedup {
       "(verified pairs are exact; pass forceExact=true for guaranteed recall 1.0)")
     val cands = minhashCandidatePairs(df, textCol, idCol, k, bands, shingleK,
       portable)
-    // parallelism floor before the shingle pass (see [[spread]])
+    // parallelism floor before the shingle pass (see [[spread]]); lazy
+    // localCheckpoint so the two verify sides share ONE shingle pass
     val sh = spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")))
       .select(col("id"),
         graft.functions.F.wordShingles(col("__txt"), shingleK, distinct = true)
           .as("sh"))
       .withColumn("n", size(col("sh"))) // sized AFTER the projection so the
         // CodegenFallback shingle expr evaluates once, not twice
+      .localCheckpoint(false)
     val sa = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
     val sb = sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))
     // arrays are distinct sets ⇒ |∪| = nₐ + n_b − |∩| exactly (no second
