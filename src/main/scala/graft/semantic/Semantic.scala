@@ -70,12 +70,6 @@ object Detector {
     val cardAggs: Seq[Column] = count(lit(1)).as("__rows") +:
       (cols.map(c => approx_count_distinct(col(c)).as(s"$c::card")) ++
        cols.map(c => count(col(c)).as(s"$c::nn")))
-    val cardRow = df.agg(cardAggs.head, cardAggs.tail: _*).collect()(0)
-    val fullRows = cardRow.getAs[Long]("__rows")
-    // Job 2: seeded cross-partition sample, every per-column rate in one agg.
-    val fraction = math.min(1.0,
-      if (fullRows == 0) 1.0 else 2.0 * sampleRows / fullRows)
-    val sample = df.sample(withReplacement = false, fraction, seed)
     val aggs: Seq[Column] = count(lit(1)).as("__n") +: cols.flatMap { c =>
       val s = trim(col(c).cast("string"))
       RegexPatterns.map { case (t, re) =>
@@ -86,7 +80,33 @@ object Detector {
         avg(when(col(c).isNotNull,
           Cleaners.coerceNumeric(col(c)).isNotNull.cast("double"))).as(s"$c::num"))
     }
-    val statRow = sample.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // Size-gated speculative job 2 (guide §2.6): job 2's only dependency on
+    // job 1 is the sample FRACTION, and a table under a few MB always
+    // yields fraction 1.0 — where `sample(1.0)` keeps every row, so the
+    // whole-table rate agg IS the sampled agg. Launch it concurrently with
+    // job 1 when the plan's size estimate is tiny; if job 1 then reports
+    // more rows than 2×sampleRows (possible on very compact wide tables),
+    // fall back to the proper sampled job — the discarded speculative agg
+    // cost at most a one-split scan. Rates are bit-identical either way.
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val fFull =
+      if (estBytes < (16L << 20))
+        Some(scala.concurrent.Future(
+          df.agg(aggs.head, aggs.tail: _*).collect()(0))(
+          scala.concurrent.ExecutionContext.global))
+      else None
+    val cardRow = df.agg(cardAggs.head, cardAggs.tail: _*).collect()(0)
+    val fullRows = cardRow.getAs[Long]("__rows")
+    // Job 2: seeded cross-partition sample, every per-column rate in one agg.
+    val fraction = math.min(1.0,
+      if (fullRows == 0) 1.0 else 2.0 * sampleRows / fullRows)
+    val statRow = fFull match {
+      case Some(f) if fraction >= 1.0 =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+      case _ =>
+        val sample = df.sample(withReplacement = false, fraction, seed)
+        sample.agg(aggs.head, aggs.tail: _*).collect()(0)
+    }
     val rows = fullRows
 
     def rate(k: String): Double = {
