@@ -299,6 +299,11 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
       val keyIsNarrowId = config.uniquenessKey.contains("doc_id") &&
         docs.schema.fields.exists(f => f.name == "doc_id" &&
           f.dataType == org.apache.spark.sql.types.StringType)
+      // A dedicated thin (doc_id, part) cache for the content-passthrough
+      // case was ALSO tried this round (share one pruned scan between the
+      // two uniqueness passes) and reverted: the cache build's columnar
+      // compression cost ≈ the pruned parquet re-scan it saves, so the
+      // cleanest measured legs showed no win — the plain pruned scans stay.
       if (keyIsNarrowId && done.isEmpty && limitParts.isEmpty &&
           config.passthroughExprs.isEmpty)
         narrowP.select($"doc_id", $"part")
@@ -357,6 +362,7 @@ class ValidationRun(spark: SparkSession, config: EngineConfig) {
   /** The narrow annotation frame persisted by the last [[run]] (exposed for
     * plan-shape tests); released by [[unpersistAll]]. */
   private[graft] var lastNarrow: Option[DataFrame] = None
+
 
   /** Per-row sketch inputs appended to the narrow annotation so ledger
     * sketches share the rule-pass scan: one double per KLL expr, one
