@@ -465,17 +465,18 @@ object SparkEntry {
       // side's sketch is built by the identical per-side plan, so the
       // sketch contents (and the drift verdicts) are unchanged
       val exec = java.util.concurrent.Executors.newFixedThreadPool(2)
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutorService(exec)
-      val fBase = scala.concurrent.Future(
-        graft.stats.Drift.sketchColumn(base, "v"))
-      val fCur = scala.concurrent.Future(
-        graft.stats.Drift.sketchColumns(cur, Seq("v", "v_drift")))
-      val skBase = scala.concurrent.Await.result(fBase,
-        scala.concurrent.duration.Duration.Inf)
-      val skCur = scala.concurrent.Await.result(fCur,
-        scala.concurrent.duration.Duration.Inf)
-      exec.shutdown()
+      val (skBase, skCur) = try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(exec)
+        val fBase = scala.concurrent.Future(
+          graft.stats.Drift.sketchColumn(base, "v"))
+        val fCur = scala.concurrent.Future(
+          graft.stats.Drift.sketchColumns(cur, Seq("v", "v_drift")))
+        (scala.concurrent.Await.result(fBase,
+           scala.concurrent.duration.Duration.Inf),
+         scala.concurrent.Await.result(fCur,
+           scala.concurrent.duration.Duration.Inf))
+      } finally exec.shutdown() // never leak pool threads on a failed job
       val quiet = graft.stats.Drift.checkSketches(skBase, skCur("v"), "v")
       val loud = graft.stats.Drift.checkSketches(skBase, skCur("v_drift"), "v")
       Seq(
@@ -607,26 +608,28 @@ object SparkEntry {
       // A23 fold the ALREADY-computed profiles instead of re-profiling both
       // frames inside scoreFrames (r5 profiled `cleaned` twice)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration.Inf
-      val fProfI = Future(graft.stats.Profiler.profile(people))
-      val fProfF = Future(graft.stats.Profiler.profile(cleaned))
-      val fDupI = Future(graft.stats.Profiler.duplicateRowCount(people))
-      val fDupF = Future(graft.stats.Profiler.duplicateRowCount(cleaned))
-      val prof = Await.result(fProfF, Inf)
-      val rows = prof.headOption.map(p => p.count + p.nulls).getOrElse(0L)
-      val missCells = prof.map(_.nulls).sum
-      val logs = Seq(
-        graft.stats.StepLog("verify", passed = false, issues = 2, warnings = 3),
-        graft.stats.StepLog("enforce_schema", typeConversions = 5, errors = 1),
-        graft.stats.StepLog("deduplicate", duplicatesRemoved = 0))
-      val m = graft.stats.ReportBuilder.metrics(rows, prof.size, missCells, logs,
-        initialDupRows = Await.result(fDupI, Inf))
-      val (v2, _) = graft.stats.QualityReportV2.scoreFromProfiles(
-        Await.result(fProfI, Inf), prof, Await.result(fDupF, Inf), Nil)
-      pool.shutdown()
+      val (m, v2) = try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration.Inf
+        val fProfI = Future(graft.stats.Profiler.profile(people))
+        val fProfF = Future(graft.stats.Profiler.profile(cleaned))
+        val fDupI = Future(graft.stats.Profiler.duplicateRowCount(people))
+        val fDupF = Future(graft.stats.Profiler.duplicateRowCount(cleaned))
+        val prof = Await.result(fProfF, Inf)
+        val rows = prof.headOption.map(p => p.count + p.nulls).getOrElse(0L)
+        val missCells = prof.map(_.nulls).sum
+        val logs = Seq(
+          graft.stats.StepLog("verify", passed = false, issues = 2, warnings = 3),
+          graft.stats.StepLog("enforce_schema", typeConversions = 5, errors = 1),
+          graft.stats.StepLog("deduplicate", duplicatesRemoved = 0))
+        val mm = graft.stats.ReportBuilder.metrics(rows, prof.size, missCells,
+          logs, initialDupRows = Await.result(fDupI, Inf))
+        val (v, _) = graft.stats.QualityReportV2.scoreFromProfiles(
+          Await.result(fProfI, Inf), prof, Await.result(fDupF, Inf), Nil)
+        (mm, v)
+      } finally pool.shutdown() // never leak pool threads on a failed job
       Seq((m.completenessScore, m.validityScore, m.consistencyScore,
           m.uniquenessScore, m.overallScore, v2))
         .toDF("a22_completeness", "a22_validity", "a22_consistency",

@@ -143,8 +143,27 @@ object Components {
     * compare via their natural order (long/string), matching min/least. */
   private def driverComponents(edges: DataFrame, pairs: DataFrame,
                                aCol: String): DataFrame = {
-    def lt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    // Strings must compare the way Spark's min/least compare them — as
+    // UTF-8 BYTES (code-point order). Java String.compareTo is UTF-16
+    // code-unit order, which disagrees for supplementary characters
+    // (U+10000+ sorts below U+E000..U+FFFF), and the fast path's component
+    // representative must be IDENTICAL to the distributed path's
+    // (review r6). Non-string ids use their natural Comparable order,
+    // which matches Spark for numeric types.
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(xb.length, yb.length)
+        var i = 0
+        while (i < n) {
+          val c = (xb(i) & 0xff) - (yb(i) & 0xff)
+          if (c != 0) return c < 0
+          i += 1
+        }
+        xb.length < yb.length
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
     val parent = scala.collection.mutable.Map[Any, Any]()
     // iterative find + full path compression: a path-shaped component at
     // the gate's upper bound would overflow the stack recursively
@@ -161,7 +180,10 @@ object Components {
         if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
       }
     }
-    val out = parent.keys.map(k => org.apache.spark.sql.Row(k, find(k))).toSeq
+    // snapshot the keys BEFORE mapping: find() path-compresses (mutates)
+    // the map, and iterating a live key view during mutation is undefined
+    // for scala mutable collections (review r6)
+    val out = parent.keys.toSeq.map(k => org.apache.spark.sql.Row(k, find(k)))
     val idType = pairs.schema(aCol).dataType
     pairs.sparkSession.createDataFrame(
       pairs.sparkSession.sparkContext.parallelize(out, 1),

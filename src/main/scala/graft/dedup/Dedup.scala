@@ -27,15 +27,22 @@ object Dedup {
     * few scan splits) otherwise runs the whole signature computation on one
     * or two cores while the rest idle — locally the 584 KB documents table
     * is ONE split, so every signature stage was single-task. Repartition to
-    * `defaultParallelism` ONLY when the scan has fewer splits than cores;
-    * at real scale inputs have ≥ thousands of splits and this is a no-op,
-    * so no shuffle is ever added to the 100 TB path (guide §2.4: no
-    * unconditional repartition "for parallelism"). Row order/partitioning
-    * never affects these operators' outputs (set-valued pairs / per-row
-    * projections re-aggregated by key). */
+    * `defaultParallelism` ONLY when the plan's size ESTIMATE is small
+    * enough that the input can't have more splits than cores anyway; at
+    * real scale the estimate is huge and this is a no-op, so no shuffle is
+    * ever added to the 100 TB path (guide §2.4: no unconditional
+    * repartition "for parallelism"). The gate reads optimizer statistics —
+    * never `.rdd`, which under AQE finalizes the physical plan and
+    * eagerly materializes upstream shuffle stages of a shuffle-bearing
+    * input (review r6). Row order/partitioning never affects these
+    * operators' outputs (set-valued pairs / per-row projections
+    * re-aggregated by key). */
+  private val SpreadBytesGate = 256L << 20 // < one split per core at 8 MB splits × 32
   private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < SpreadBytesGate)
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
   }
 
   /** RELATIVE epsilon for the exactness-preserving prunes: each bound is
@@ -189,7 +196,14 @@ object Dedup {
 
   // ---------------------------------------------------------- n-gram Jaccard
 
-  /** n-gram Jaccard pairs ≥ `minJaccard`, with a threshold-adaptive candidate
+  /** NOTE: with `freqOrdered = true` (the default) this method is NOT a
+    * pure plan builder — it eagerly runs one small aggregate (the hash
+    * collision certificate over the distinct-shingle frame) during
+    * construction, because the verify representation (hash vs string
+    * arrays) is chosen from its result. Callers that only want a plan to
+    * inspect should pass `freqOrdered = false`.
+    *
+    * n-gram Jaccard pairs ≥ `minJaccard`, with a threshold-adaptive candidate
     * strategy (VERDICT r2 item 2):
     *
     *  - `minJaccard ≥ 0.5` (or `forceExact`): EXACT prefix filtering — recall

@@ -438,6 +438,7 @@ object SemanticPipeline {
     // now run concurrently from a small driver pool (guide §2.6). Each
     // job's plan — and so each result — is unchanged.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     import scala.concurrent.{Await, Future}
@@ -467,9 +468,11 @@ object SemanticPipeline {
     val before = Await.result(fBefore, Inf)
     val after = Await.result(fAfter, Inf)
     val changeLogs = Await.result(fChangeLogs, Inf)
-    pool.shutdown()
     Result(cleaned, typeMap, before, after, Scorer.score(total, before),
       Scorer.score(total, after), changeLogs)
+    // finally (not success-path-only): a failing job must not leak the
+    // non-daemon pool threads (review r6)
+    } finally pool.shutdown()
   }
 
   /** The EP3 report artifact, matching `report_demo_data.json`'s shape:

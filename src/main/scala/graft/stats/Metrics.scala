@@ -189,20 +189,21 @@ object Metrics {
     * and result is unchanged. */
   def qualityReport(df: DataFrame, reference: Option[(DataFrame, String)] = None): (QualityDimensions, Double) = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration.Inf
-    val fComp = Future(completeness(df))
-    val fVc = Future(validityAndConsistency(df))
-    val fUniq = Future(uniqueness(df))
-    val fAcc = reference.map { case (ref, key) => Future(accuracy(df, ref, key)) }
-    val comp = Await.result(fComp, Inf)
-    val (valid, consist) = Await.result(fVc, Inf)
-    val uniq = Await.result(fUniq, Inf)
-    val acc = fAcc.flatMap(f => Await.result(f, Inf))
-    pool.shutdown()
-    val dims = QualityDimensions(comp, valid, consist, uniq, acc)
-    (dims, overallScore(dims))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration.Inf
+      val fComp = Future(completeness(df))
+      val fVc = Future(validityAndConsistency(df))
+      val fUniq = Future(uniqueness(df))
+      val fAcc = reference.map { case (ref, key) => Future(accuracy(df, ref, key)) }
+      val comp = Await.result(fComp, Inf)
+      val (valid, consist) = Await.result(fVc, Inf)
+      val uniq = Await.result(fUniq, Inf)
+      val acc = fAcc.flatMap(f => Await.result(f, Inf))
+      val dims = QualityDimensions(comp, valid, consist, uniq, acc)
+      (dims, overallScore(dims))
+    } finally pool.shutdown() // a failing job must not leak pool threads
   }
 }
